@@ -1,0 +1,261 @@
+"""Flat tensor scene representation (the TPU replacement for the
+reference's ``Arc<dyn Hittable>`` object graph, reference src/scene.rs).
+
+The scene compiler (models/compiler.py) expands every JSON object into
+primitive records grouped *by type* — spheres, triangles, axis-aligned
+rects — so each intersection kernel is a dense vectorized sweep with no
+dynamic dispatch.  Instancing transforms live in a side table indexed
+per primitive (identity at slot 0); triangles have their transforms
+baked into the vertices at compile time instead (reference
+transform.rs semantics are preserved either way).
+
+Material / texture parameters are small parallel tables; gradients flow
+through them (they are ordinary pytree leaves), which is what makes the
+renderer differentiable w.r.t. albedo, texel colors, and emission.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# --- type tags ------------------------------------------------------------
+
+# material types (reference src/json.rs:198-207 AnyMaterial, kebab-case)
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_DIFFUSE_LIGHT = 3
+MAT_ISOTROPIC = 4
+
+# texture types (reference src/json.rs:147-155 AnyTexture)
+TEX_SOLID = 0
+TEX_CHECKER = 1
+TEX_IMAGE = 2
+TEX_NOISE = 3
+
+# light (samplable) primitive kinds
+LIGHT_SPHERE = 0
+LIGHT_TRIANGLE = 1
+LIGHT_RECT = 2
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, dtype=np.float32))
+
+
+def _i32(x):
+    return jnp.asarray(np.asarray(x, dtype=np.int32))
+
+
+@struct.dataclass
+class SphereTable:
+    center: jnp.ndarray  # (S, 3) f32
+    radius: jnp.ndarray  # (S,) f32
+    material: jnp.ndarray  # (S,) i32 index into MaterialTable
+    transform: jnp.ndarray  # (S,) i32 index into TransformTable (0 = identity)
+    medium_niv: jnp.ndarray  # (S,) f32 neg_inv_density; 0 = solid surface
+    medium_col: jnp.ndarray  # (S,) i32 column into the per-bounce medium
+    #                            uniform block; -1 for solid spheres
+    n_medium: int = struct.field(pytree_node=False, default=0)
+    has_transforms: bool = struct.field(pytree_node=False, default=False)
+    has_medium: bool = struct.field(pytree_node=False, default=False)
+
+    def __len__(self):
+        return self.center.shape[0]
+
+
+@struct.dataclass
+class TriangleTable:
+    v0: jnp.ndarray  # (T, 3)
+    e12: jnp.ndarray  # (T, 3) v1 - v0 (reference triangle.rs:26-32)
+    e13: jnp.ndarray  # (T, 3) v2 - v0
+    n0: jnp.ndarray  # (T, 3) per-vertex shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (T, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    material: jnp.ndarray  # (T,) i32
+
+    def __len__(self):
+        return self.v0.shape[0]
+
+
+@struct.dataclass
+class RectTable:
+    axis: jnp.ndarray  # (R,) i32 variant: 0=xy, 1=yz, 2=zx
+    a0: jnp.ndarray  # (R,) f32 params in the variant's own order
+    a1: jnp.ndarray
+    b0: jnp.ndarray
+    b1: jnp.ndarray
+    k: jnp.ndarray
+    positive: jnp.ndarray  # (R,) bool outward-normal sign
+    material: jnp.ndarray  # (R,) i32
+    transform: jnp.ndarray  # (R,) i32
+    has_transforms: bool = struct.field(pytree_node=False, default=False)
+
+    def __len__(self):
+        return self.axis.shape[0]
+
+
+@struct.dataclass
+class TransformTable:
+    """Affine instancing transforms (reference transform.rs:16-31).
+    Slot 0 is always the identity."""
+
+    fwd: jnp.ndarray  # (X, 3, 3)
+    fwd_t: jnp.ndarray  # (X, 3)
+    inv: jnp.ndarray  # (X, 3, 3)
+    inv_t: jnp.ndarray  # (X, 3)
+
+
+@struct.dataclass
+class MaterialTable:
+    mtype: jnp.ndarray  # (M,) i32
+    tex: jnp.ndarray  # (M,) i32 texture index (lambertian albedo /
+    #                     isotropic albedo / diffuse-light emit)
+    albedo: jnp.ndarray  # (M, 3) f32 metal albedo
+    fuzz: jnp.ndarray  # (M,) f32 metal fuzz
+    ir: jnp.ndarray  # (M,) f32 dielectric refraction index
+
+    def __len__(self):
+        return self.mtype.shape[0]
+
+
+@struct.dataclass
+class TextureTable:
+    ttype: jnp.ndarray  # (T,) i32
+    color: jnp.ndarray  # (T, 3) f32 solid color
+    density: jnp.ndarray  # (T,) f32 checker density
+    child_odd: jnp.ndarray  # (T,) i32 checker sub-textures
+    child_even: jnp.ndarray  # (T,) i32
+    scale: jnp.ndarray  # (T,) f32 noise scale
+    noise_depth: jnp.ndarray  # (T,) i32 noise turbulence octaves
+    noise_offset: jnp.ndarray  # (T, 3) f32 decorrelation offset (the
+    #   reference builds an independent Perlin per noise texture,
+    #   json.rs:355-359; we share tables and shift the domain instead)
+    image: jnp.ndarray  # (T,) i32 index into images
+    # shared assets
+    images: jnp.ndarray  # (I, Hmax, Wmax, 3) f32 texel atlas (0..1)
+    image_dims: jnp.ndarray  # (I, 2) i32 (height, width)
+    perlin_vec: jnp.ndarray  # (256, 3) f32 random unit vectors
+    perm_x: jnp.ndarray  # (256,) i32
+    perm_y: jnp.ndarray
+    perm_z: jnp.ndarray
+    max_checker_depth: int = struct.field(pytree_node=False, default=1)
+    max_noise_depth: int = struct.field(pytree_node=False, default=0)
+
+    def __len__(self):
+        return self.ttype.shape[0]
+
+
+@struct.dataclass
+class LightTable:
+    """Importance-sampled ("important") primitives — the reference's
+    ``Scene::lights`` HittableGroup (reference src/scene.rs:52-61).
+
+    The member list is a *static* compile-time fact (it changes the
+    traced program: one unrolled pdf/sample block per light), so kinds
+    and indices are plain Python tuples, not arrays."""
+
+    kind: tuple = struct.field(pytree_node=False, default=())
+    index: tuple = struct.field(pytree_node=False, default=())
+    transform: tuple = struct.field(pytree_node=False, default=())
+
+    def __len__(self):
+        return len(self.kind)
+
+
+@struct.dataclass
+class SceneData:
+    """The whole compiled scene as one jit-traversable pytree."""
+
+    spheres: SphereTable
+    triangles: TriangleTable
+    rects: RectTable
+    transforms: TransformTable
+    materials: MaterialTable
+    textures: TextureTable
+    lights: LightTable
+    background: jnp.ndarray  # (3,) color for rays that miss everything
+    #                           (reference renderer.rs:184)
+    environment: jnp.ndarray  # (3,) color at depth exhaustion
+    #                           (reference renderer.rs:128-130)
+    # static layout facts (compile-time constants)
+    n_spheres: int = struct.field(pytree_node=False, default=0)
+    n_triangles: int = struct.field(pytree_node=False, default=0)
+    n_rects: int = struct.field(pytree_node=False, default=0)
+    n_lights: int = struct.field(pytree_node=False, default=0)
+    n_medium: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def has_lights(self) -> bool:
+        return self.n_lights > 0
+
+
+def identity_transform_table(extra: Optional[list] = None) -> TransformTable:
+    """Build a transform table whose slot 0 is the identity; ``extra`` is
+    a list of (fwd 3x3, translate 3) numpy pairs appended after it."""
+    fwds = [np.eye(3, dtype=np.float32)]
+    ts = [np.zeros(3, dtype=np.float32)]
+    invs = [np.eye(3, dtype=np.float32)]
+    inv_ts = [np.zeros(3, dtype=np.float32)]
+    for fwd, t in extra or []:
+        fwd = np.asarray(fwd, dtype=np.float32)
+        t = np.asarray(t, dtype=np.float32)
+        # inverse of x -> fwd @ x + t as in reference transform.rs:18-22
+        m = np.eye(4, dtype=np.float64)
+        m[:3, :3] = fwd
+        m[:3, 3] = t
+        mi = np.linalg.inv(m)
+        fwds.append(fwd)
+        ts.append(t)
+        invs.append(mi[:3, :3].astype(np.float32))
+        inv_ts.append(mi[:3, 3].astype(np.float32))
+    return TransformTable(
+        fwd=_f32(np.stack(fwds)),
+        fwd_t=_f32(np.stack(ts)),
+        inv=_f32(np.stack(invs)),
+        inv_t=_f32(np.stack(inv_ts)),
+    )
+
+
+def empty_sphere_table() -> SphereTable:
+    z3 = np.zeros((0, 3), np.float32)
+    z = np.zeros((0,), np.float32)
+    zi = np.zeros((0,), np.int32)
+    return SphereTable(
+        center=_f32(z3), radius=_f32(z), material=_i32(zi), transform=_i32(zi),
+        medium_niv=_f32(z), medium_col=_i32(zi),
+    )
+
+
+def empty_triangle_table() -> TriangleTable:
+    z3 = np.zeros((0, 3), np.float32)
+    z2 = np.zeros((0, 2), np.float32)
+    zi = np.zeros((0,), np.int32)
+    return TriangleTable(
+        v0=_f32(z3), e12=_f32(z3), e13=_f32(z3),
+        n0=_f32(z3), n1=_f32(z3), n2=_f32(z3),
+        uv0=_f32(z2), uv1=_f32(z2), uv2=_f32(z2),
+        material=_i32(zi),
+    )
+
+
+def empty_rect_table() -> RectTable:
+    z = np.zeros((0,), np.float32)
+    zi = np.zeros((0,), np.int32)
+    zb = np.zeros((0,), bool)
+    return RectTable(
+        axis=_i32(zi), a0=_f32(z), a1=_f32(z), b0=_f32(z), b1=_f32(z),
+        k=_f32(z), positive=jnp.asarray(zb), material=_i32(zi),
+        transform=_i32(zi),
+    )
+
+
+def empty_light_table() -> LightTable:
+    return LightTable(kind=(), index=(), transform=())

@@ -1,0 +1,207 @@
+"""Ray-primitive intersection kernels, batched over struct-of-arrays.
+
+TPU-native re-expression of the reference's per-packet hit methods
+(reference src/hittable/sphere.rs:60-92, triangle.rs:56-95,
+aa_rect.rs:114-144, constant_medium.rs:41-85, transform.rs:64-95,
+src/ray.rs:167-189).  Every function broadcasts over arbitrary leading
+batch shapes: pass rays shaped ``(N, 1, 3)`` against primitive tables
+shaped ``(P, 3)`` to get an ``(N, P)`` candidate grid, or gather one
+primitive per ray and pass ``(N, 3)`` vs ``(N, 3)`` for the full-record
+phase.  Masks replace the reference's SIMD lane masks.
+
+All math is float32; ``t`` of a masked-out candidate is +inf so that a
+plain ``argmin`` implements the reference's nearest-hit merge
+(reference src/renderer.rs:170-182).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+EPSILON = 1e-3  # reference src/lib.rs:34
+INF = jnp.inf
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def norm(a):
+    return jnp.sqrt(jnp.sum(a * a, axis=-1))
+
+
+def normalize(a):
+    return a / jnp.maximum(norm(a)[..., None], 1e-30)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+class SphereHit(NamedTuple):
+    """Phase-A candidate output (t/mask) plus enough to rebuild a record."""
+
+    t: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def sphere_uv(p):
+    """Spherical UV of a unit outward normal (reference sphere.rs:38-45)."""
+    theta = jnp.arccos(jnp.clip(-p[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(-p[..., 2], p[..., 0]) + jnp.pi
+    u = phi / (2.0 * jnp.pi)
+    v = theta / jnp.pi
+    return jnp.stack([u, v], axis=-1)
+
+
+def sphere_roots(ro, rd, center, radius):
+    """Both quadratic roots of |ro + t*rd - c|^2 = r^2 with unit rd.
+
+    Returns (root1, root2, disc_ok).  Matches reference sphere.rs:60-71:
+    half_b = oc.dot(d), c = |oc|^2 - r^2, disc = half_b^2 - c.
+    """
+    oc = ro - center
+    half_b = dot(oc, rd)
+    c = dot(oc, oc) - radius * radius
+    disc = half_b * half_b - c
+    disc_ok = disc >= 0.0
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    return -half_b - sqrt_d, -half_b + sqrt_d, disc_ok
+
+
+def sphere_t(ro, rd, center, radius, t_min, t_max):
+    """Nearest-root selection exactly as reference sphere.rs:72-82."""
+    root1, root2, disc_ok = sphere_roots(ro, rd, center, radius)
+    mask1 = disc_ok & (root1 >= t_min) & (root1 <= t_max)
+    mask2 = disc_ok & (root2 >= t_min) & (root2 <= t_max)
+    t = jnp.where(mask1, root1, root2)
+    return SphereHit(t=t, mask=mask1 | mask2)
+
+
+def sphere_medium_t(ro, rd, center, radius, t_min, t_max, neg_inv_density, u):
+    """Constant-density medium inside a sphere boundary.
+
+    Mirrors reference constant_medium.rs:41-85 specialized to a sphere
+    inner shape: hit1 over (-inf, inf) always selects root1, hit2 over
+    (t1+EPS, inf) selects root2.  ``u`` is this candidate's uniform draw
+    (the reference draws from the thread RNG inside hit()).
+    Note the reference quirk kept on purpose: the scatter distance is
+    measured from max(t1, t_min, 0) but the returned t is t1 + flight.
+    """
+    root1, root2, disc_ok = sphere_roots(ro, rd, center, radius)
+    mask = disc_ok  # hit1 over (-inf, inf)
+    mask = mask & (root2 >= root1 + EPSILON)  # hit2 over (t1+eps, inf)
+    lo = jnp.maximum(root1, t_min)
+    hi = jnp.minimum(root2, t_max)
+    mask = mask & (lo < hi)
+    lo = jnp.maximum(lo, 0.0)
+    dist_inside = hi - lo
+    # exponential free flight; guard log(0)
+    flight = neg_inv_density * jnp.log(jnp.maximum(u, 1e-38))
+    mask = mask & (flight <= dist_inside)
+    t = root1 + flight
+    return SphereHit(t=t, mask=mask)
+
+
+def triangle_t(ro, rd, v0, e12, e13, t_min, t_max):
+    """Moeller-Trumbore with the reference's exact mask chain
+    (reference triangle.rs:56-95).  Returns (t, mask, u, v, det)."""
+    p_vec = cross(rd, e13)
+    det = dot(e12, p_vec)
+    mask = jnp.abs(det) > 0.0
+    inv_det = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+    t_vec = ro - v0
+    u = inv_det * dot(t_vec, p_vec)
+    mask = mask & (u >= 0.0) & (u <= 1.0)
+    q_vec = cross(t_vec, e12)
+    v = inv_det * dot(rd, q_vec)
+    mask = mask & (v >= 0.0) & (u + v <= 1.0)
+    t = inv_det * dot(e13, q_vec)
+    mask = mask & (t >= t_min) & (t <= t_max)
+    return t, mask, u, v, det
+
+
+# Rect axis permutations: variant -> (idx0, idx1, idx2) where idx2 is the
+# plane axis (reference aa_rect.rs rect_shape! instantiations):
+#   0 = XYRect (x0 x1 y0 y1, k on z), 1 = YZRect (y0 y1 z0 z1, k on x),
+#   2 = ZXRect (z0 z1 x0 x1, k on y)
+RECT_AXES = jnp.array([[0, 1, 2], [1, 2, 0], [2, 0, 1]], dtype=jnp.int32)
+# Outward normal axis sign vector per variant lives on axis idx2.
+
+
+def _take_axis(vec, axis_idx):
+    """Gather vec[..., axis_idx] where axis_idx broadcasts against batch."""
+    idx = jnp.broadcast_to(axis_idx[..., None], vec.shape[:-1] + (1,))
+    return jnp.take_along_axis(vec, idx, axis=-1)[..., 0]
+
+
+def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
+    """Axis-aligned rect hit (reference aa_rect.rs:114-144).
+
+    ``axis`` is the variant id (0=xy,1=yz,2=zx); a/b/k are the rect
+    params in the variant's own (a0,a1,b0,b1,k) order.  Returns
+    (t, mask, a, b) where (a, b) are the in-plane hit coordinates.
+    """
+    axes = RECT_AXES[axis]  # (..., 3)
+    i0, i1, i2 = axes[..., 0], axes[..., 1], axes[..., 2]
+    ro_b = jnp.broadcast_to(ro, jnp.broadcast_shapes(ro.shape, axes.shape))
+    rd_b = jnp.broadcast_to(rd, jnp.broadcast_shapes(rd.shape, axes.shape))
+    o2 = _take_axis(ro_b, i2)
+    d2 = _take_axis(rd_b, i2)
+    t = (k - o2) / d2
+    mask = (t >= t_min) & (t <= t_max)
+    a = _take_axis(ro_b, i0) + t * _take_axis(rd_b, i0)
+    b = _take_axis(ro_b, i1) + t * _take_axis(rd_b, i1)
+    mask = mask & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
+    return t, mask, a, b
+
+
+def rect_normal(axis, positive):
+    """Outward normal of a rect variant before face flipping."""
+    axes = RECT_AXES[axis]
+    i2 = axes[..., 2]
+    sign = jnp.where(positive, 1.0, -1.0)
+    n = jnp.zeros(axis.shape + (3,), dtype=jnp.float32)
+    n = jnp.put_along_axis(n, i2[..., None], sign[..., None], axis=-1, inplace=False)
+    return n
+
+
+def aabb_hit(ro, rd_inv, bb_min, bb_max, t_min, t_max):
+    """Slab test (reference src/ray.rs:167-189).  rd_inv = 1/rd."""
+    t0 = (bb_min - ro) * rd_inv
+    t1 = (bb_max - ro) * rd_inv
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    near = jnp.maximum(jnp.max(lo, axis=-1), t_min)
+    far = jnp.minimum(jnp.min(hi, axis=-1), t_max)
+    return near <= far
+
+
+def face_normal(rd, outward_normal):
+    """Flip the geometric normal against the ray
+    (reference src/hittable/mod.rs:145-155)."""
+    front_face = dot(rd, outward_normal) < 0.0
+    normal = jnp.where(front_face[..., None], outward_normal, -outward_normal)
+    return front_face, normal
+
+
+def transform_ray(inv, inv_t, ro, rd):
+    """World ray -> object space (reference transform.rs:72-83).
+
+    Returns (ro_obj, rd_obj_unit, norm) where world t = object t / norm.
+    ``inv`` is (..., 3, 3) row-major, ``inv_t`` (..., 3).
+    """
+    ro_obj = jnp.einsum("...ij,...j->...i", inv, ro) + inv_t
+    d = jnp.einsum("...ij,...j->...i", inv, rd)
+    n = norm(d)
+    return ro_obj, d / jnp.maximum(n[..., None], 1e-30), n
+
+
+def transform_point(fwd, fwd_t, p):
+    return jnp.einsum("...ij,...j->...i", fwd, p) + fwd_t
+
+
+def transform_dir(fwd, d):
+    return jnp.einsum("...ij,...j->...i", fwd, d)

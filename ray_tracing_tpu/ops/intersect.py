@@ -1,0 +1,294 @@
+"""Scene-wide nearest-hit intersection: the wavefront replacement for the
+reference's per-shape bucketing pipeline (reference src/renderer.rs:131-183).
+
+Two phases, both dense and branch-free:
+
+* **Phase A** sweeps every primitive table against the ray block and
+  produces only a ``(N, P)`` grid of candidate ``t`` values (masked to
+  +inf), reduced by ``argmin`` per type and then across types.  This is
+  the memory- and FLOP-dominant part and stays cheap: ~5 f32 temporaries
+  per (ray, primitive) pair.
+* **Phase B** gathers the single winning primitive per ray and re-runs
+  the same hit math once to build the full hit record (p, normal, uv,
+  front_face).  Re-running instead of storing keeps Phase A's footprint
+  at O(N*P) scalars instead of O(N*P) records.
+
+Medium primitives draw their free-flight uniform from ``med_u`` (one
+column per medium primitive), so Phase B reproduces Phase A's stochastic
+``t`` exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ray_tracing_tpu.models.scene import SceneData
+from ray_tracing_tpu.ops import geometry as geo
+
+INF = jnp.inf
+
+# primitive kind tags for the winning-type select (order = tie-break order;
+# the reference breaks ties by global shape index, which type grouping
+# cannot reproduce — ties only occur on measure-zero coincident surfaces)
+KIND_NONE = -1
+KIND_SPHERE = 0
+KIND_TRIANGLE = 1
+KIND_RECT = 2
+
+
+@struct.dataclass
+class Hit:
+    """Batched hit record (reference src/hittable/mod.rs:24-32)."""
+
+    p: jnp.ndarray  # (N, 3)
+    normal: jnp.ndarray  # (N, 3) unit, flipped toward the ray
+    t: jnp.ndarray  # (N,)
+    uv: jnp.ndarray  # (N, 2)
+    front_face: jnp.ndarray  # (N,) bool
+    mask: jnp.ndarray  # (N,) bool — whether anything was hit
+    material: jnp.ndarray  # (N,) i32 material id of the winner
+    kind: jnp.ndarray  # (N,) i32 KIND_* of the winner
+    index: jnp.ndarray  # (N,) i32 index within the winner's type table
+
+
+def _sphere_object_ray(scene: SceneData, ro, rd, t_min, t_max):
+    """Rays in each sphere's object space: (N,S,3) grids plus scaled
+    t bounds (reference transform.rs:72-83).  Identity-only tables skip
+    the matmuls entirely (static switch)."""
+    sp = scene.spheres
+    ro_n = ro[:, None, :]
+    rd_n = rd[:, None, :]
+    if sp.has_transforms:
+        inv = scene.transforms.inv[sp.transform]
+        inv_t = scene.transforms.inv_t[sp.transform]
+        ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro_n, rd_n)
+        return ro_o, rd_o, nrm, t_min * nrm, t_max * nrm
+    return ro_n, rd_n, None, t_min, t_max
+
+
+def _sphere_phase_a(scene: SceneData, ro, rd, t_min, t_max, med_u):
+    sp = scene.spheres
+    ro_o, rd_o, nrm, t_min_o, t_max_o = _sphere_object_ray(
+        scene, ro, rd, t_min, t_max
+    )
+    solid = geo.sphere_t(ro_o, rd_o, sp.center, sp.radius, t_min_o, t_max_o)
+    t, mask = solid.t, solid.mask
+    if sp.has_medium:
+        u = med_u[:, sp.medium_col]  # (N, S); col -1 wraps, masked below
+        med = geo.sphere_medium_t(
+            ro_o, rd_o, sp.center, sp.radius, t_min_o, t_max_o,
+            sp.medium_niv, u,
+        )
+        is_med = sp.medium_niv != 0.0
+        t = jnp.where(is_med, med.t, t)
+        mask = jnp.where(is_med, med.mask, mask)
+    if nrm is not None:
+        t = t / nrm
+    return t, mask
+
+
+def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, med_u, idx):
+    """Full record for one gathered sphere per ray; idx: (N,)."""
+    sp = scene.spheres
+    center = sp.center[idx]  # (N, 3)
+    radius = sp.radius[idx]
+    if sp.has_transforms:
+        tr = sp.transform[idx]
+        inv = scene.transforms.inv[tr]
+        inv_t = scene.transforms.inv_t[tr]
+        fwd = scene.transforms.fwd[tr]
+        fwd_t = scene.transforms.fwd_t[tr]
+        ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro, rd)
+        t_min_o, t_max_o = t_min * nrm, t_max * nrm
+    else:
+        ro_o, rd_o, nrm = ro, rd, None
+        t_min_o, t_max_o = t_min, t_max
+
+    root1, root2, disc_ok = geo.sphere_roots(ro_o, rd_o, center, radius)
+    mask1 = disc_ok & (root1 >= t_min_o) & (root1 <= t_max_o)
+    t_obj = jnp.where(mask1, root1, root2)
+    is_med = sp.medium_niv[idx] != 0.0 if sp.has_medium else None
+    if sp.has_medium:
+        u = med_u[jnp.arange(idx.shape[0]), sp.medium_col[idx]]
+        flight = sp.medium_niv[idx] * jnp.log(jnp.maximum(u, 1e-38))
+        t_obj = jnp.where(is_med, root1 + flight, t_obj)
+
+    p_obj = ro_o + rd_o * t_obj[..., None]
+    outward = geo.normalize(p_obj - center)
+    front_face, normal_obj = geo.face_normal(rd_o, outward)
+    uv = geo.sphere_uv(outward)
+    if sp.has_medium:
+        # reference constant_medium.rs:77-84: fixed +x normal, front face
+        med_n = jnp.zeros_like(normal_obj).at[..., 0].set(1.0)
+        normal_obj = jnp.where(is_med[..., None], med_n, normal_obj)
+        front_face = jnp.where(is_med, True, front_face)
+        uv = jnp.where(is_med[..., None], 0.0, uv)
+
+    if sp.has_transforms:
+        p = geo.transform_point(fwd, fwd_t, p_obj)
+        normal = geo.normalize(geo.transform_dir(fwd, normal_obj))
+        t = t_obj / nrm
+    else:
+        p, normal, t = p_obj, normal_obj, t_obj
+    return p, normal, t, uv, front_face
+
+
+def _triangle_phase_a(scene: SceneData, ro, rd, t_min, t_max):
+    tr = scene.triangles
+    t, mask, _, _, _ = geo.triangle_t(
+        ro[:, None, :], rd[:, None, :], tr.v0, tr.e12, tr.e13, t_min, t_max
+    )
+    return t, mask
+
+
+def _triangle_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
+    tr = scene.triangles
+    v0, e12, e13 = tr.v0[idx], tr.e12[idx], tr.e13[idx]
+    t, mask, u, v, det = geo.triangle_t(ro, rd, v0, e12, e13, t_min, t_max)
+    w = 1.0 - u - v
+    p = ro + rd * t[..., None]
+    normal = geo.normalize(
+        tr.n0[idx] * w[..., None] + tr.n1[idx] * u[..., None] + tr.n2[idx] * v[..., None]
+    )
+    uv = tr.uv0[idx] * w[..., None] + tr.uv1[idx] * u[..., None] + tr.uv2[idx] * v[..., None]
+    front_face = det > 0.0  # winding, not view (reference triangle.rs:92)
+    return p, normal, t, uv, front_face
+
+
+def _rect_object_ray(scene: SceneData, ro, rd, t_min, t_max):
+    rc = scene.rects
+    ro_n = ro[:, None, :]
+    rd_n = rd[:, None, :]
+    if rc.has_transforms:
+        inv = scene.transforms.inv[rc.transform]
+        inv_t = scene.transforms.inv_t[rc.transform]
+        ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro_n, rd_n)
+        return ro_o, rd_o, nrm, t_min * nrm, t_max * nrm
+    return ro_n, rd_n, None, t_min, t_max
+
+
+def _rect_phase_a(scene: SceneData, ro, rd, t_min, t_max):
+    rc = scene.rects
+    ro_o, rd_o, nrm, t_min_o, t_max_o = _rect_object_ray(scene, ro, rd, t_min, t_max)
+    t, mask, _, _ = geo.rect_t(
+        ro_o, rd_o, rc.axis, rc.a0, rc.a1, rc.b0, rc.b1, rc.k, t_min_o, t_max_o
+    )
+    if nrm is not None:
+        t = t / nrm
+    return t, mask
+
+
+def _rect_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
+    rc = scene.rects
+    axis = rc.axis[idx]
+    a0, a1 = rc.a0[idx], rc.a1[idx]
+    b0, b1 = rc.b0[idx], rc.b1[idx]
+    k = rc.k[idx]
+    positive = rc.positive[idx]
+    if rc.has_transforms:
+        tr = rc.transform[idx]
+        inv = scene.transforms.inv[tr]
+        inv_t = scene.transforms.inv_t[tr]
+        fwd = scene.transforms.fwd[tr]
+        fwd_t = scene.transforms.fwd_t[tr]
+        ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro, rd)
+        t_min_o, t_max_o = t_min * nrm, t_max * nrm
+    else:
+        ro_o, rd_o, nrm = ro, rd, None
+        t_min_o, t_max_o = t_min, t_max
+    t_obj, mask, a, b = geo.rect_t(
+        ro_o, rd_o, axis, a0, a1, b0, b1, k, t_min_o, t_max_o
+    )
+    u = (a - a0) / (a1 - a0)
+    v = (b - b0) / (b1 - b0)
+    uv = jnp.stack([u, v], axis=-1)
+    outward = geo.rect_normal(axis, positive)
+    front_face, normal_obj = geo.face_normal(rd_o, outward)
+    p_obj = ro_o + rd_o * t_obj[..., None]
+    if rc.has_transforms:
+        p = geo.transform_point(fwd, fwd_t, p_obj)
+        normal = geo.normalize(geo.transform_dir(fwd, normal_obj))
+        t = t_obj / nrm
+    else:
+        p, normal, t = p_obj, normal_obj, t_obj
+    return p, normal, t, uv, front_face
+
+
+def intersect_scene(
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    t_min: float,
+    t_max: float,
+    med_u: Optional[jnp.ndarray] = None,
+) -> Hit:
+    """Nearest hit of each ray against the whole scene.
+
+    ro, rd: (N, 3); med_u: (N, n_medium) uniforms for constant-medium
+    free-flight sampling (may be None when the scene has no media).
+    """
+    n = ro.shape[0]
+    best_t = jnp.full((n,), INF, dtype=jnp.float32)
+    best_kind = jnp.full((n,), KIND_NONE, dtype=jnp.int32)
+    best_idx = jnp.zeros((n,), dtype=jnp.int32)
+
+    def consider(t_grid, mask_grid, kind):
+        nonlocal best_t, best_kind, best_idx
+        t_masked = jnp.where(mask_grid, t_grid, INF)
+        idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+        t_best = jnp.take_along_axis(t_masked, idx[:, None], axis=1)[:, 0]
+        better = t_best < best_t
+        best_t = jnp.where(better, t_best, best_t)
+        best_kind = jnp.where(better, kind, best_kind)
+        best_idx = jnp.where(better, idx, best_idx)
+
+    if scene.n_spheres:
+        consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max, med_u), KIND_SPHERE)
+    if scene.n_triangles:
+        consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
+    if scene.n_rects:
+        consider(*_rect_phase_a(scene, ro, rd, t_min, t_max), KIND_RECT)
+
+    mask = best_kind != KIND_NONE
+
+    # Phase B: rebuild the winner's full record (one primitive per ray).
+    p = jnp.zeros_like(ro)
+    normal = jnp.zeros_like(ro).at[..., 1].set(1.0)
+    uv = jnp.zeros((n, 2), dtype=jnp.float32)
+    front_face = jnp.zeros((n,), dtype=bool)
+    material = jnp.zeros((n,), dtype=jnp.int32)
+
+    def merge(kind, rec, mat_ids):
+        nonlocal p, normal, uv, front_face, material
+        sel = best_kind == kind
+        bp, bn, _bt, buv, bf = rec
+        p = jnp.where(sel[:, None], bp, p)
+        normal = jnp.where(sel[:, None], bn, normal)
+        uv = jnp.where(sel[:, None], buv, uv)
+        front_face = jnp.where(sel, bf, front_face)
+        material = jnp.where(sel, mat_ids, material)
+
+    if scene.n_spheres:
+        rec = _sphere_phase_b(scene, ro, rd, t_min, t_max, med_u, best_idx)
+        merge(KIND_SPHERE, rec, scene.spheres.material[best_idx])
+    if scene.n_triangles:
+        rec = _triangle_phase_b(scene, ro, rd, t_min, t_max, best_idx)
+        merge(KIND_TRIANGLE, rec, scene.triangles.material[best_idx])
+    if scene.n_rects:
+        rec = _rect_phase_b(scene, ro, rd, t_min, t_max, best_idx)
+        merge(KIND_RECT, rec, scene.rects.material[best_idx])
+
+    return Hit(
+        p=p,
+        normal=normal,
+        t=best_t,
+        uv=uv,
+        front_face=front_face,
+        mask=mask,
+        material=material,
+        kind=best_kind,
+        index=best_idx,
+    )

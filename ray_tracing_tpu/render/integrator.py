@@ -1,0 +1,81 @@
+"""The bounce-loop path integrator.
+
+Iterative rewrite of the reference's depth-first wavefront recursion
+(reference src/renderer.rs:123-320).  The recursive accumulation
+``colors[i] = emitted_or_background + coef * child_color`` becomes the
+standard radiance/throughput form::
+
+    radiance  += throughput * (emitted at hits | background at misses)
+    throughput *= coef
+    ... after max_depth bounces: radiance += throughput * environment
+
+which is algebraically identical term-by-term, including the reference's
+background-vs-environment distinction: *misses* contribute ``background``
+(renderer.rs:184) and only *depth exhaustion* contributes ``environment``
+(renderer.rs:128-130).  Absorbed paths (DiffuseLight / ScatterRecord::None)
+stop after their emission term (renderer.rs:261).
+
+Everything is a pure function of (scene, rays, key): per-bounce uniforms
+come from ``fold_in(key, bounce)``, so a render is bit-reproducible and
+replayable for path-replay differentiation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_tpu.models.scene import SceneData
+from ray_tracing_tpu.ops.geometry import EPSILON, INF
+from ray_tracing_tpu.ops.intersect import intersect_scene
+from ray_tracing_tpu.ops.materials import N_SCATTER_U, emitted_color, scatter
+
+
+def trace(
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+) -> jnp.ndarray:
+    """Trace a wavefront to completion; returns (N, 3) linear radiance."""
+    n = ro.shape[0]
+    rad = jnp.zeros((n, 3), dtype=jnp.float32)
+    thr = jnp.ones((n, 3), dtype=jnp.float32)
+    alive = jnp.ones((n,), dtype=bool)
+
+    def body(bounce, carry):
+        rad, thr, ro, rd, alive = carry
+        kb = jax.random.fold_in(key, bounce)
+        if scene.n_medium > 0:
+            med_u = jax.random.uniform(
+                jax.random.fold_in(kb, 1), (n, scene.n_medium), dtype=jnp.float32
+            )
+        else:
+            med_u = None
+        hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
+        found = alive & hit.mask
+        miss = alive & ~hit.mask
+
+        rad = rad + jnp.where(
+            miss[:, None], thr * scene.background[None, :], 0.0
+        )
+        em = emitted_color(scene, hit)
+        rad = rad + jnp.where(found[:, None], thr * em, 0.0)
+
+        u = jax.random.uniform(
+            jax.random.fold_in(kb, 2), (n, N_SCATTER_U), dtype=jnp.float32
+        )
+        sc = scatter(scene, hit, rd, u)
+        new_alive = found & sc.scattered
+        thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
+        ro = jnp.where(found[:, None], hit.p, ro)
+        rd = jnp.where(new_alive[:, None], sc.direction, rd)
+        return rad, thr, ro, rd, new_alive
+
+    rad, thr, ro, rd, alive = jax.lax.fori_loop(
+        0, max_depth, body, (rad, thr, ro, rd, alive)
+    )
+    # depth exhausted -> environment (reference renderer.rs:128-130)
+    rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
+    return rad

@@ -1,0 +1,192 @@
+"""Renderer frontend: progressive one-sample-per-pixel passes.
+
+Mirrors the reference's ``Renderer`` / ``RenderResult`` split
+(reference src/renderer.rs:72-332, 335-406): ``Renderer.render(key)``
+produces one full-image 1-spp pass of *linear* radiance (the unit of
+work a rayon job renders in the reference, src/main.rs:39-63), and
+``RenderResult`` accumulates passes and tone-maps (mean → sqrt gamma →
+×256 → clamp 0.5..255.5 → u8, NaN→0, renderer.rs:369-406).
+
+Rays are traced in fixed-size tiles (lax.map) so the (rays × primitives)
+candidate grids stay within a bounded memory footprint regardless of
+resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracing_tpu.models.camera import Camera, CameraParam, sample_st
+from ray_tracing_tpu.models.scene import SceneData
+from ray_tracing_tpu.render.integrator import trace
+
+
+@dataclasses.dataclass
+class RendererParam:
+    """reference renderer.rs:42-51 (max_depth default 20: renderer.rs:331;
+    antialias default true: renderer.rs:49-50)."""
+
+    width: int
+    height: int
+    max_depth: Optional[int] = None
+    antialias: Optional[bool] = None
+
+    @classmethod
+    def from_json(cls, d: dict) -> "RendererParam":
+        return cls(
+            width=d["width"],
+            height=d["height"],
+            max_depth=d.get("max_depth"),
+            antialias=d.get("antialias"),
+        )
+
+
+def _pick_tile_size(n_rays: int, n_prims: int) -> int:
+    """Bound the (tile × primitives) candidate grid to ~4M entries."""
+    budget = 4_194_304 // max(n_prims, 1)
+    tile = 512
+    while tile * 2 <= min(budget, n_rays, 65536):
+        tile *= 2
+    return tile
+
+
+def render_pass(
+    scene: SceneData,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    antialias: bool,
+    tile_size: int,
+) -> jnp.ndarray:
+    """One full-image 1-spp pass -> (H, W, 3) linear radiance.
+
+    Pure function of (scene, camera, key); differentiable w.r.t. scene
+    and camera pytree leaves.  Keyword args are static.
+    """
+    n = width * height
+    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
+    st = sample_st(k_st, width, height, antialias)
+    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
+    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
+    ro, rd, _time = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+
+    n_tiles = -(-n // tile_size)
+    pad = n_tiles * tile_size - n
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))]
+        )
+    ro = ro.reshape(n_tiles, tile_size, 3)
+    rd = rd.reshape(n_tiles, tile_size, 3)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.uint32)
+
+    def run_tile(args):
+        ro_t, rd_t, tid = args
+        return trace(scene, ro_t, rd_t, jax.random.fold_in(k_trace, tid), max_depth)
+
+    if n_tiles == 1:
+        colors = run_tile((ro[0], rd[0], tile_ids[0]))[None]
+    else:
+        colors = jax.lax.map(run_tile, (ro, rd, tile_ids))
+    colors = colors.reshape(n_tiles * tile_size, 3)[:n]
+    return colors.reshape(height, width, 3)
+
+
+class Renderer:
+    """Holds a compiled scene + camera and a jitted render pass
+    (reference Renderer::new, renderer.rs:84-93)."""
+
+    def __init__(
+        self,
+        param: RendererParam,
+        camera: CameraParam,
+        scene: SceneData,
+        tile_size: Optional[int] = None,
+    ):
+        self.param = param
+        self.scene = scene
+        aspect = param.width / param.height
+        self.camera = Camera.build(camera, aspect)
+        n_prims = scene.n_spheres + scene.n_triangles + scene.n_rects
+        self.tile_size = tile_size or _pick_tile_size(
+            param.width * param.height, n_prims
+        )
+        self.max_depth = param.max_depth if param.max_depth is not None else 20
+        self.antialias = param.antialias if param.antialias is not None else True
+        self._render = jax.jit(
+            partial(
+                render_pass,
+                width=param.width,
+                height=param.height,
+                max_depth=self.max_depth,
+                antialias=self.antialias,
+                tile_size=self.tile_size,
+            )
+        )
+
+    def render(self, key) -> jnp.ndarray:
+        """One 1-spp pass; ``key`` is a PRNG key or an int seed.
+        Returns (H, W, 3) float32 linear radiance on device."""
+        if not (
+            isinstance(key, jax.Array)
+            and jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key)
+        ):
+            key = jax.random.key(int(key))
+        return self._render(self.scene, self.camera, key)
+
+    async def render_async(self, key):
+        """Awaitable render matching the reference's async Python API
+        (reference renderer.rs:449-476) — returns an (H, W, 3) numpy
+        array of linear radiance."""
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+
+        def work():
+            return np.asarray(self.render(key))
+
+        return await loop.run_in_executor(None, work)
+
+
+class RenderResult:
+    """Progressive accumulator (reference renderer.rs:335-406).
+
+    Thread-safe enough for the reference's usage pattern (single writer);
+    ``add`` folds in one 1-spp pass, ``get_raw`` tone-maps to u8 bytes.
+    """
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.sum = np.zeros((height, width, 3), dtype=np.float32)
+        self.count = 0
+
+    def add(self, colors) -> int:
+        """colors: (H, W, 3) linear radiance of one pass."""
+        self.sum += np.asarray(colors, dtype=np.float32)
+        self.count += 1
+        return self.count
+
+    def get_raw(self, last: int = 0):
+        """u8 RGB bytes after mean + sqrt gamma (renderer.rs:369-406);
+        returns (bytes_array (H, W, 3) u8, count) or None when no new
+        passes landed since ``last``."""
+        if self.count <= last:
+            return None
+        vals = np.sqrt(self.sum / self.count) * 256.0
+        vals = np.where(np.isnan(vals), 0.0, np.clip(vals, 0.5, 255.5))
+        return vals.astype(np.uint8), self.count
+
+    def mean(self) -> np.ndarray:
+        """Linear mean image (the GUI's display path, main.py:1136-1153)."""
+        return self.sum / max(self.count, 1)
