@@ -1,0 +1,117 @@
+"""CLI frontend: progressive render of a JSON scene to an image file.
+
+Mirrors the reference binary (reference src/main.rs): ``-i scene.json
+-o out.bmp``, one 1-spp full-image pass per iteration with per-iteration
+timing logs (``Iter N +Ts``, main.rs:48-52), a periodic save every 5 s
+when new iterations landed (``Iter N saved``, main.rs:65-79), and exit
+on Enter (main.rs:80-83).  A ``--iterations`` flag is added for
+non-interactive use; ``--seed`` pins the RNG (the reference cannot).
+
+Run: ``python -m ray_tracing_tpu.cli -i data/zy_scene.json -o out.bmp``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ray-tracing-tpu",
+        description="TPU-native progressive Monte Carlo path tracer",
+    )
+    p.add_argument("-i", "--input", required=True, help="input scene JSON")
+    p.add_argument("-o", "--output", required=True, help="output image (bmp/png)")
+    p.add_argument(
+        "--iterations", type=int, default=0,
+        help="stop after N 1-spp passes (0 = run until Enter)",
+    )
+    p.add_argument("--seed", type=int, default=0, help="base RNG seed")
+    p.add_argument(
+        "--save-interval", type=float, default=5.0,
+        help="seconds between progressive saves (reference: 5 s)",
+    )
+    p.add_argument(
+        "--max-depth", type=int, default=None,
+        help="override the scene's max ray depth",
+    )
+    p.add_argument(
+        "--width", type=int, default=None, help="override render width"
+    )
+    p.add_argument(
+        "--height", type=int, default=None, help="override render height"
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    from ray_tracing_tpu import Renderer, RenderResult, load_scene_json
+    from ray_tracing_tpu.utils.image import save_image
+
+    bundle = load_scene_json(args.input, noise_seed=args.seed)
+    rparam = bundle.renderer
+    if args.width:
+        rparam.width = args.width
+    if args.height:
+        rparam.height = args.height
+    if args.max_depth:
+        rparam.max_depth = args.max_depth
+
+    renderer = Renderer(rparam, bundle.camera, bundle.scene)
+    result = RenderResult(rparam.width, rparam.height)
+
+    stop = threading.Event()
+    if args.iterations == 0 and sys.stdin is not None and sys.stdin.isatty():
+        def wait_enter():
+            try:
+                sys.stdin.readline()
+            except Exception:
+                pass
+            stop.set()
+
+        threading.Thread(target=wait_enter, daemon=True).start()
+        print("rendering; press Enter to stop", flush=True)
+
+    key = jax.random.key(args.seed)
+    start = time.perf_counter()
+    last_saved = 0
+    last_save_time = start
+    iteration = 0
+    try:
+        while not stop.is_set():
+            if args.iterations and iteration >= args.iterations:
+                break
+            t0 = time.perf_counter()
+            colors = np.asarray(renderer.render(jax.random.fold_in(key, iteration)))
+            iteration = result.add(colors)
+            print(f"Iter {iteration} +{time.perf_counter() - t0:.3f}s", flush=True)
+            now = time.perf_counter()
+            if now - last_save_time >= args.save_interval:
+                raw = result.get_raw(last_saved)
+                if raw is not None:
+                    img, last_saved = raw
+                    save_image(args.output, img)
+                    print(f"Iter {last_saved} saved", flush=True)
+                last_save_time = now
+    except KeyboardInterrupt:
+        pass
+
+    raw = result.get_raw(0)
+    if raw is not None:
+        img, n = raw
+        save_image(args.output, img)
+        print(f"Iter {n} saved", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

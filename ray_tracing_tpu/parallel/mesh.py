@@ -1,0 +1,144 @@
+"""Multi-chip execution: ray-axis sharding over a jax device mesh.
+
+The reference parallelizes by replicating the whole image per rayon
+worker and averaging (reference src/main.rs:39-63, SURVEY §2.4 P2).
+The TPU-native mapping shards the *ray axis* across devices instead
+(the context-parallel analogue of the pixel/sample space): the scene is
+tiny and replicated, rays are embarrassingly independent, and the only
+cross-device communication is the gradient/image reduction — a single
+``psum`` riding ICI, inserted automatically by shard_map's AD for the
+replicated scene parameters.
+
+Multi-host: call ``jax.distributed.initialize()`` first and build the
+mesh over ``jax.devices()``; the same code path then spans hosts (DCN
+for the final reduction only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ray_tracing_tpu.models.camera import Camera, sample_st
+from ray_tracing_tpu.models.scene import SceneData
+from ray_tracing_tpu.render.integrator import trace
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the ray axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def sharded_trace(scene: SceneData, ro, rd, key, max_depth: int, mesh: Mesh):
+    """Trace a ray wavefront sharded across ``mesh``.
+
+    ro/rd: (N, 3) with N a multiple of the device count.  Each device
+    folds its mesh position into the key so RNG streams are independent
+    per shard (SURVEY §2.4: per-device fold-in RNG).
+    """
+
+    def shard_fn(scene, ro_s, rd_s, key):
+        dev = jax.lax.axis_index(RAY_AXIS)
+        return trace(scene, ro_s, rd_s, jax.random.fold_in(key, dev), max_depth)
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    )(scene, ro, rd, key)
+
+
+def sharded_render_pass(
+    scene: SceneData,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    antialias: bool,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """One 1-spp pass with the ray axis sharded over ``mesh``.
+
+    Returns (H, W, 3) linear radiance (device-sharded along rows once
+    reshaped; materializes fine on any host).
+    """
+    n = width * height
+    n_dev = mesh.devices.size
+    n_pad = _pad_to(n, n_dev)
+
+    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
+    st = sample_st(k_st, width, height, antialias)
+    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
+    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
+    ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    if n_pad != n:
+        ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n_pad - n, 1))]
+        )
+    colors = sharded_trace(scene, ro, rd, k_trace, max_depth, mesh)
+    return colors[:n].reshape(height, width, 3)
+
+
+def make_train_step(
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    mesh: Mesh,
+    lr: float = 0.5,
+):
+    """Data-parallel differentiable-rendering train step.
+
+    Loss = MSE(rendered image, target); gradients w.r.t. every scene
+    table leaf (albedo texels, emission, material params) flow through
+    the sharded path tracer; shard_map's reverse-mode AD inserts the
+    cross-device ``psum`` for the replicated scene pytree — the gradient
+    all-reduce of BASELINE.md, overlapped with the backward sweep by XLA.
+
+    Returns ``step(scene, key, target) -> (scene', loss)``.
+    """
+
+    def loss_fn(colors, scene, key, target):
+        scene = scene.replace(textures=scene.textures.replace(color=colors))
+        img = sharded_render_pass(
+            scene, camera, key,
+            width=width, height=height, max_depth=max_depth,
+            antialias=True, mesh=mesh,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(scene, key, target):
+        # SGD on the texture color table (albedo / emission texels);
+        # the rest of the scene pytree has integer id leaves, so the
+        # differentiable parameter is passed explicitly.
+        loss, g = jax.value_and_grad(loss_fn)(
+            scene.textures.color, scene, key, target
+        )
+        scene = scene.replace(
+            textures=scene.textures.replace(color=scene.textures.color - lr * g)
+        )
+        return scene, loss
+
+    return step

@@ -37,15 +37,28 @@ def trace(
     rd: jnp.ndarray,
     key: jax.Array,
     max_depth: int,
+    *,
+    remat: bool = False,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
-    """Trace a wavefront to completion; returns (N, 3) linear radiance."""
+    """Trace a wavefront to completion; returns (N, 3) linear radiance.
+
+    remat: rematerialize each bounce in the backward pass
+    (``jax.checkpoint``) so reverse-mode AD stores only the O(N) bounce
+    state instead of the O(N x P) candidate grids — the standard
+    FLOPs-for-HBM trade for differentiable rendering at full depth.
+    with_stats: also return the total number of ray segments traced
+    (sum over bounces of live rays), the honest numerator for rays/s.
+    """
     n = ro.shape[0]
     rad = jnp.zeros((n, 3), dtype=jnp.float32)
     thr = jnp.ones((n, 3), dtype=jnp.float32)
     alive = jnp.ones((n,), dtype=bool)
+    segments = jnp.zeros((), dtype=jnp.float32)
 
     def body(bounce, carry):
-        rad, thr, ro, rd, alive = carry
+        rad, thr, ro, rd, alive, segments = carry
+        segments = segments + jnp.sum(alive.astype(jnp.float32))
         kb = jax.random.fold_in(key, bounce)
         if scene.n_medium > 0:
             med_u = jax.random.uniform(
@@ -71,11 +84,16 @@ def trace(
         thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
         ro = jnp.where(found[:, None], hit.p, ro)
         rd = jnp.where(new_alive[:, None], sc.direction, rd)
-        return rad, thr, ro, rd, new_alive
+        return rad, thr, ro, rd, new_alive, segments
 
-    rad, thr, ro, rd, alive = jax.lax.fori_loop(
-        0, max_depth, body, (rad, thr, ro, rd, alive)
+    if remat:
+        body = jax.checkpoint(body, static_argnums=())
+
+    rad, thr, ro, rd, alive, segments = jax.lax.fori_loop(
+        0, max_depth, body, (rad, thr, ro, rd, alive, segments)
     )
     # depth exhausted -> environment (reference renderer.rs:128-130)
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
+    if with_stats:
+        return rad, segments
     return rad

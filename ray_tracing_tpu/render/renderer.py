@@ -66,11 +66,15 @@ def render_pass(
     max_depth: int,
     antialias: bool,
     tile_size: int,
+    remat: bool = False,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
     """One full-image 1-spp pass -> (H, W, 3) linear radiance.
 
     Pure function of (scene, camera, key); differentiable w.r.t. scene
-    and camera pytree leaves.  Keyword args are static.
+    and camera pytree leaves.  Keyword args are static.  With
+    ``with_stats`` also returns the total ray-segment count (see
+    integrator.trace).
     """
     n = width * height
     k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
@@ -92,14 +96,22 @@ def render_pass(
 
     def run_tile(args):
         ro_t, rd_t, tid = args
-        return trace(scene, ro_t, rd_t, jax.random.fold_in(k_trace, tid), max_depth)
+        return trace(
+            scene, ro_t, rd_t, jax.random.fold_in(k_trace, tid), max_depth,
+            remat=remat, with_stats=with_stats,
+        )
 
     if n_tiles == 1:
-        colors = run_tile((ro[0], rd[0], tile_ids[0]))[None]
+        out = run_tile((ro[0], rd[0], tile_ids[0]))
+        colors, segs = (out[0][None], out[1][None]) if with_stats else (out[None], None)
     else:
-        colors = jax.lax.map(run_tile, (ro, rd, tile_ids))
+        out = jax.lax.map(run_tile, (ro, rd, tile_ids))
+        colors, segs = (out[0], out[1]) if with_stats else (out, None)
     colors = colors.reshape(n_tiles * tile_size, 3)[:n]
-    return colors.reshape(height, width, 3)
+    img = colors.reshape(height, width, 3)
+    if with_stats:
+        return img, jnp.sum(segs)
+    return img
 
 
 class Renderer:

@@ -1,0 +1,162 @@
+"""Estimator-law tests for the bounce-loop integrator
+(reference src/renderer.rs:123-332 semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracing_tpu import CameraParam, Renderer, RendererParam, SceneBuilder
+from ray_tracing_tpu.render.integrator import trace
+
+
+def _trace(scene, ro, rd, key=0, depth=8):
+    return np.asarray(
+        trace(scene, jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32),
+              jax.random.key(key), depth)
+    )
+
+
+def test_empty_scene_is_background():
+    scene = SceneBuilder(background=(0.1, 0.2, 0.3)).build()
+    out = _trace(scene, [[0, 0, 0]], [[0, 0, -1]])
+    assert np.allclose(out, [[0.1, 0.2, 0.3]])
+
+
+def test_direct_light_view_emits():
+    b = SceneBuilder(background=(0, 0, 0))
+    light = b.add_diffuse_light(b.add_texture_solid((5.0, 4.0, 3.0)))
+    b.add_rect("xy", -1, 1, -1, 1, -2.0, light, positive=True)
+    scene = b.build()
+    # front side (+z normal, ray going -z -> front_face) sees the emission
+    out = _trace(scene, [[0, 0, 0]], [[0, 0, -1]])
+    assert np.allclose(out, [[5.0, 4.0, 3.0]], atol=1e-5)
+    # back side: one-sided emission (reference diffuse_light.rs:18-23)
+    out = _trace(scene, [[0, 0, -4]], [[0, 0, 1]])
+    assert np.allclose(out, [[0, 0, 0]], atol=1e-5)
+
+
+def test_lambertian_furnace():
+    """Infinite-ish lambertian plane under a white background sky:
+    every camera ray picks up exactly albedo * background."""
+    albedo = (0.7, 0.5, 0.3)
+    b = SceneBuilder(background=(1.0, 1.0, 1.0))
+    mat = b.add_lambertian(b.add_texture_solid(albedo))
+    b.add_rect("zx", -1e4, 1e4, -1e4, 1e4, 0.0, mat, positive=True)
+    scene = b.build()
+    n = 4096
+    ro = np.tile([[0.0, 1.0, 0.0]], (n, 1))
+    rd = np.tile([[0.0, -1.0, 0.0]], (n, 1))
+    out = _trace(scene, ro, rd, depth=4)
+    # cosine-sampled bounce always escapes upward to the background
+    assert np.allclose(out.mean(axis=0), albedo, atol=1e-3)
+    assert out.std(axis=0).max() < 1e-4  # exact per-path (f32 rounding only)
+
+
+def test_depth_exhaustion_returns_environment():
+    """Two parallel perfect mirrors trap the ray; after max_depth the
+    environment color is returned (reference renderer.rs:128-130)."""
+    b = SceneBuilder(background=(9.0, 9.0, 9.0), environment=(0.25, 0.5, 0.75))
+    mirror = b.add_metal((1.0, 1.0, 1.0), 0.0)
+    b.add_rect("xy", -10, 10, -10, 10, 0.0, mirror)
+    b.add_rect("xy", -10, 10, -10, 10, 1.0, mirror)
+    scene = b.build()
+    out = _trace(scene, [[0, 0, 0.5]], [[0, 0, -1]], depth=6)
+    assert np.allclose(out, [[0.25, 0.5, 0.75]], atol=1e-5)
+
+
+def test_metal_mirror_reflects_light():
+    b = SceneBuilder(background=(0, 0, 0))
+    light = b.add_diffuse_light(b.add_texture_solid((2.0, 2.0, 2.0)))
+    mirror = b.add_metal((0.8, 0.9, 1.0), 0.0)
+    b.add_rect("zx", -10, 10, -10, 10, 0.0, mirror, positive=True)  # floor y=0
+    b.add_rect("zx", -10, 10, -10, 10, 4.0, light, positive=False)  # ceiling
+    scene = b.build()
+    # straight down: bounce to straight up, hit ceiling light
+    out = _trace(scene, [[0, 1, 0]], [[0, -1, 0]], depth=3)
+    assert np.allclose(out, [[0.8 * 2, 0.9 * 2, 1.0 * 2]], atol=1e-4)
+
+
+def test_dielectric_straight_through():
+    """Normal incidence on glass slab-like sphere: ray passes through
+    (or reflects) with attenuation exactly 1 -> sees background."""
+    b = SceneBuilder(background=(0.3, 0.6, 0.9))
+    glass = b.add_dielectric(1.5)
+    b.add_sphere((0, 0, -3), 1.0, glass)
+    scene = b.build()
+    n = 512
+    out = _trace(scene, np.tile([[0, 0, 0]], (n, 1)), np.tile([[0, 0, -1]], (n, 1)),
+                 depth=8)
+    assert np.allclose(out, [0.3, 0.6, 0.9], atol=1e-4)
+
+
+def test_isotropic_medium_attenuates():
+    """Dense fog with black albedo: rays entering the sphere die inside
+    -> black; background elsewhere."""
+    b = SceneBuilder(background=(1.0, 1.0, 1.0))
+    fog = b.add_isotropic(b.add_texture_solid((0.0, 0.0, 0.0)))
+    b.add_sphere((0, 0, -5), 1.0, fog, medium_density=1e4)
+    scene = b.build()
+    out = _trace(scene, [[0, 0, 0]], [[0, 0, -1]], depth=8)
+    assert np.allclose(out, [[0, 0, 0]], atol=1e-6)
+    out = _trace(scene, [[0, 0, 0]], [[0, 1, 0]], depth=8)
+    assert np.allclose(out, [[1, 1, 1]], atol=1e-6)
+
+
+def test_mis_unbiased_vs_brute_force():
+    """Marking the light 'important' must not change the converged mean
+    (reference's 0.5/0.5 mixture estimator, renderer.rs:234-244)."""
+
+    def build(important):
+        b = SceneBuilder(background=(0, 0, 0))
+        white = b.add_lambertian(b.add_texture_solid((0.73, 0.73, 0.73)))
+        light = b.add_diffuse_light(b.add_texture_solid((4.0, 4.0, 4.0)))
+        b.add_rect("zx", -2, 2, -2, 2, 0.0, white, positive=True)
+        b.add_rect("zx", -0.5, 0.5, -0.5, 0.5, 1.999, light, positive=False,
+                   important=important)
+        b.add_rect("xy", -2, 2, 0, 2, -2.0, white, positive=True)
+        return b.build()
+
+    n = 20_000
+    rng = np.random.RandomState(0)
+    ro = np.tile([[0.0, 1.0, 1.5]], (n, 1))
+    # fan of directions toward the floor
+    d = np.stack([rng.uniform(-0.3, 0.3, n), -np.ones(n), rng.uniform(-0.9, -0.3, n)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    means = []
+    for important in (False, True):
+        scene = build(important)
+        acc = 0.0
+        for k in range(12):
+            acc = acc + _trace(scene, ro, d, key=k, depth=6).mean()
+        means.append(acc / 12)
+    assert np.isclose(means[0], means[1], rtol=0.05), means
+
+
+def test_renderer_shapes_and_determinism():
+    b = SceneBuilder(background=(0.5, 0.5, 0.5))
+    b.add_sphere((0, 0, -3), 1.0, b.add_lambertian(b.add_texture_solid((0.5, 0.2, 0.2))))
+    scene = b.build()
+    cam = CameraParam((0, 0, 1), (0, 0, -1), 60)
+    r = Renderer(RendererParam(40, 30, max_depth=4), cam, scene)
+    img = np.asarray(r.render(0))
+    assert img.shape == (30, 40, 3)
+    assert np.array_equal(img, np.asarray(r.render(0)))
+    assert not np.array_equal(img, np.asarray(r.render(1)))
+    assert not np.isnan(img).any()
+
+
+def test_image_orientation_top_row_first():
+    """Row 0 of the output is the TOP of the image (reference renderer.rs:101
+    iterates j = height-1 .. 0)."""
+    b = SceneBuilder(background=(0, 0, 0))
+    light = b.add_diffuse_light(b.add_texture_solid((1, 1, 1)))
+    # emissive ceiling rect in the upper half of the view
+    b.add_rect("zx", -50, 50, -50, 50, 20.0, light, positive=False)
+    scene = b.build()
+    cam = CameraParam((0, 10, 0), (0, 10, -50), 60)
+    r = Renderer(RendererParam(16, 16, max_depth=2, antialias=False), cam, scene)
+    img = np.asarray(r.render(0))
+    top = img[:4].mean()
+    bottom = img[-4:].mean()
+    assert top > bottom  # bright ceiling should be in the top rows

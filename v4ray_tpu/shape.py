@@ -1,0 +1,159 @@
+"""Shape classes of the ``v4ray.shape`` submodule (reference
+src/py.rs:70-76, src/hittable/*.rs pyclasses), plus the shapes the
+reference only reaches through JSON.
+
+Each shape knows how to register itself into a SceneBuilder
+(``_build``) and exposes the reference's ``bounding_box`` / batched
+``hit`` methods for direct use from Python."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from v4ray_tpu.core import AABB, HitRecord, Ray
+
+EPSILON = 1e-3
+
+
+def _hit_via_kernel(kernel_args_fn):
+    """Run a jnp geometry kernel on a numpy Ray batch."""
+    import jax.numpy as jnp
+
+    return jnp, kernel_args_fn
+
+
+class Sphere:
+    """reference src/hittable/sphere.rs:25-180."""
+
+    def __init__(self, center: Tuple[float, float, float], radius: float):
+        self.center = tuple(float(x) for x in center)
+        self.radius = float(radius)
+
+    def bounding_box(self, time0: float = 0.0, time1: float = 0.0) -> AABB:
+        c, r = np.asarray(self.center), self.radius
+        return AABB(tuple(c - r), tuple(c + r))
+
+    def hit(self, ray: Ray, t_min, t_max) -> HitRecord:
+        import jax.numpy as jnp
+
+        from ray_tracing_tpu.ops import geometry as geo
+
+        ro = jnp.asarray(ray.origin)
+        rd = jnp.asarray(ray.direction)
+        center = jnp.asarray(self.center, jnp.float32)
+        radius = jnp.float32(self.radius)
+        t_min = jnp.asarray(np.broadcast_to(t_min, (len(ray),)), jnp.float32)
+        t_max = jnp.asarray(np.broadcast_to(t_max, (len(ray),)), jnp.float32)
+        res = geo.sphere_t(ro, rd, center, radius, t_min, t_max)
+        p = ro + rd * res.t[:, None]
+        outward = geo.normalize(p - center)
+        front, normal = geo.face_normal(rd, outward)
+        uv = geo.sphere_uv(outward)
+        mask = np.asarray(res.mask) & ray.mask
+        return HitRecord(
+            p=np.asarray(p), normal=np.asarray(normal), t=np.asarray(res.t),
+            uv=np.asarray(uv), front_face=np.asarray(front), mask=mask,
+        )
+
+    def _build(self, b, material: int, important: bool) -> None:
+        b.add_sphere(self.center, self.radius, material, important=important)
+
+
+class Triangle:
+    """reference src/hittable/triangle.rs."""
+
+    def __init__(self, vertices, normals=None, uvs=None):
+        self.vertices = np.asarray(vertices, np.float32).reshape(3, 3)
+        self.normals = (
+            np.asarray(normals, np.float32).reshape(3, 3)
+            if normals is not None else None
+        )
+        self.uvs = (
+            np.asarray(uvs, np.float32).reshape(3, 2) if uvs is not None else None
+        )
+
+    def bounding_box(self, time0: float = 0.0, time1: float = 0.0) -> AABB:
+        lo = self.vertices.min(axis=0) - 0.0
+        hi = self.vertices.max(axis=0)
+        # pad degenerate axes by EPSILON (reference triangle.rs:37-50)
+        flat = hi - lo == 0.0
+        lo = np.where(flat, lo - EPSILON, lo)
+        hi = np.where(flat, hi + EPSILON, hi)
+        return AABB(tuple(lo), tuple(hi))
+
+    def _build(self, b, material: int, important: bool) -> None:
+        b.add_triangle(self.vertices, material, normals=self.normals,
+                       uvs=self.uvs, important=important)
+
+
+class _Rect:
+    axis: int
+
+    def __init__(self, a0, a1, b0, b1, k, positive: bool = True):
+        self.a0, self.a1 = float(a0), float(a1)
+        self.b0, self.b1 = float(b0), float(b1)
+        self.k = float(k)
+        self.positive = bool(positive)
+
+    def _build(self, b, material: int, important: bool) -> None:
+        b.add_rect(self.axis, self.a0, self.a1, self.b0, self.b1, self.k,
+                   material, positive=self.positive, important=important)
+
+
+class XYRect(_Rect):
+    """reference src/hittable/aa_rect.rs (XYRect)."""
+
+    axis = 0
+
+
+class YZRect(_Rect):
+    axis = 1
+
+
+class ZXRect(_Rect):
+    axis = 2
+
+
+class Cuboid:
+    """reference src/hittables/cuboid.rs."""
+
+    def __init__(self, p0, p1):
+        self.p0 = tuple(float(x) for x in p0)
+        self.p1 = tuple(float(x) for x in p1)
+
+    def _build(self, b, material: int, important: bool) -> None:
+        b.add_cuboid(self.p0, self.p1, material, important=important)
+
+
+class ConstantMedium:
+    """reference src/hittable/constant_medium.rs (sphere boundary)."""
+
+    def __init__(self, sphere: Sphere, density: float):
+        if not isinstance(sphere, Sphere):
+            raise NotImplementedError(
+                "constant-medium is supported over sphere boundaries"
+            )
+        self.sphere = sphere
+        self.density = float(density)
+
+    def _build(self, b, material: int, important: bool) -> None:
+        if important:
+            print("importance sampling on unsupported shape!")
+        b.add_sphere(self.sphere.center, self.sphere.radius, material,
+                     medium_density=self.density)
+
+
+class Mesh:
+    """reference src/hittables/obj.rs via an OBJ file path."""
+
+    def __init__(self, file: str, model=None):
+        self.file = file
+        self.model = model
+
+    def _build(self, b, material: int, important: bool) -> None:
+        from ray_tracing_tpu.models.mesh import mesh_triangles, parse_obj
+
+        pts, nrm, uvs = mesh_triangles(parse_obj(self.file), self.model)
+        b.add_mesh_triangles(pts, nrm, uvs, material, important=important)
