@@ -21,7 +21,7 @@ import time
 REFERENCE_RAYS_PER_S = 20e6  # documented estimate, see module docstring
 
 WIDTH = HEIGHT = 1024
-PASSES = 4
+PASSES = 3
 
 
 def main():

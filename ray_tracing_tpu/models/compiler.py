@@ -60,21 +60,8 @@ from ray_tracing_tpu.render.renderer import RendererParam
 import jax.numpy as jnp
 
 RECT_AXIS_BY_NAME = {"xy": 0, "yz": 1, "zx": 2}
-POINT_COUNT = 256
 
 Transform = Tuple[np.ndarray, np.ndarray]  # (3x3, translate)
-
-
-def _perlin_tables(seed: int):
-    """Perlin asset generation (reference noise.rs:20-39): 256 random
-    unit vectors + three independent permutations."""
-    rng = np.random.RandomState(seed ^ 0x9E3779B9 & 0x7FFFFFFF)
-    z = rng.uniform(-1.0, 1.0, POINT_COUNT)
-    theta = rng.uniform(0.0, 2.0 * np.pi, POINT_COUNT)
-    xy = np.sqrt(np.maximum(1.0 - z * z, 0.0))
-    vec = np.stack([np.cos(theta) * xy, np.sin(theta) * xy, z], axis=-1)
-    perms = [rng.permutation(POINT_COUNT).astype(np.int32) for _ in range(3)]
-    return vec.astype(np.float32), perms
 
 
 class SceneBuilder:
@@ -369,8 +356,41 @@ class SceneBuilder:
         visiting.remove(idx)
         return d
 
+    BVH_THRESHOLD = 16  # build an LBVH when the triangle count warrants it
+
+    def _build_bvh(self):
+        """Morton-sort the triangle list in place (lights remapped) and
+        build the LBVH (reference Scene::build_bvh, scene.rs:62-70 /
+        bvh.rs:162-180 — SAH packet BVH redesigned as a skip-link LBVH,
+        see ops/bvh.py)."""
+        from ray_tracing_tpu.models.scene import LIGHT_TRIANGLE
+        from ray_tracing_tpu.ops.bvh import build_lbvh, morton_order
+
+        v = np.stack([t["v"] for t in self._triangles]).astype(np.float32)
+        tmin = v.min(axis=1)
+        tmax = v.max(axis=1)
+        # pad degenerate (axis-flat) triangles (reference triangle.rs:37-50)
+        flat = tmax - tmin == 0.0
+        tmin = np.where(flat, tmin - 1e-3, tmin)
+        tmax = np.where(flat, tmax + 1e-3, tmax)
+        order = morton_order(tmin, tmax)
+        inverse = np.empty_like(order)
+        inverse[order] = np.arange(order.shape[0], dtype=np.int32)
+        self._triangles = [self._triangles[i] for i in order]
+        self._lights = [
+            (k, int(inverse[i]) if k == LIGHT_TRIANGLE else i, t)
+            for (k, i, t) in self._lights
+        ]
+        return build_lbvh(tmin[order], tmax[order])
+
     def build(self) -> SceneData:
         f32, i32 = np.float32, np.int32
+
+        bvh = (
+            self._build_bvh()
+            if len(self._triangles) >= self.BVH_THRESHOLD
+            else None
+        )
 
         # spheres
         ns = len(self._spheres)
@@ -488,7 +508,6 @@ class SceneBuilder:
             atlas = np.zeros((0, 1, 1, 3), f32)
             dims = np.zeros((0, 2), i32)
 
-        perlin_vec, perms = _perlin_tables(self.noise_seed)
         max_checker = max(
             (self._checker_depth(i, set()) for i in range(ntex)), default=0
         )
@@ -506,10 +525,6 @@ class SceneBuilder:
             image=jnp.asarray(image_idx),
             images=jnp.asarray(atlas),
             image_dims=jnp.asarray(dims),
-            perlin_vec=jnp.asarray(perlin_vec),
-            perm_x=jnp.asarray(perms[0]),
-            perm_y=jnp.asarray(perms[1]),
-            perm_z=jnp.asarray(perms[2]),
             max_checker_depth=max(max_checker, 1),
             max_noise_depth=max_noise,
         )
@@ -528,6 +543,7 @@ class SceneBuilder:
             materials=materials,
             textures=textures,
             lights=lights,
+            bvh=bvh,
             background=jnp.asarray(self.background),
             environment=jnp.asarray(self.environment),
             n_spheres=ns,

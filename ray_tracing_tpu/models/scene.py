@@ -142,10 +142,6 @@ class TextureTable:
     # shared assets
     images: jnp.ndarray  # (I, Hmax, Wmax, 3) f32 texel atlas (0..1)
     image_dims: jnp.ndarray  # (I, 2) i32 (height, width)
-    perlin_vec: jnp.ndarray  # (256, 3) f32 random unit vectors
-    perm_x: jnp.ndarray  # (256,) i32
-    perm_y: jnp.ndarray
-    perm_z: jnp.ndarray
     max_checker_depth: int = struct.field(pytree_node=False, default=1)
     max_noise_depth: int = struct.field(pytree_node=False, default=0)
 
@@ -185,6 +181,7 @@ class SceneData:
     #                           (reference renderer.rs:184)
     environment: jnp.ndarray  # (3,) color at depth exhaustion
     #                           (reference renderer.rs:128-130)
+    bvh: Any = None  # Optional[ops.bvh.BVHTable] over the triangle table
     # static layout facts (compile-time constants)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_triangles: int = struct.field(pytree_node=False, default=0)

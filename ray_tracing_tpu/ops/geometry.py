@@ -128,13 +128,12 @@ def triangle_t(ro, rd, v0, e12, e13, t_min, t_max):
 #   0 = XYRect (x0 x1 y0 y1, k on z), 1 = YZRect (y0 y1 z0 z1, k on x),
 #   2 = ZXRect (z0 z1 x0 x1, k on y)
 RECT_AXES = jnp.array([[0, 1, 2], [1, 2, 0], [2, 0, 1]], dtype=jnp.int32)
-# Outward normal axis sign vector per variant lives on axis idx2.
-
-
-def _take_axis(vec, axis_idx):
-    """Gather vec[..., axis_idx] where axis_idx broadcasts against batch."""
-    idx = jnp.broadcast_to(axis_idx[..., None], vec.shape[:-1] + (1,))
-    return jnp.take_along_axis(vec, idx, axis=-1)[..., 0]
+# One-hot basis row per variant for each role: ua on idx0, ub on idx1,
+# uk on idx2.  Axis selection becomes three dot products (pure VPU) —
+# dynamic-axis gathers (take_along_axis) cost ~100x more on TPU.
+RECT_UA = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=jnp.float32)
+RECT_UB = jnp.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], dtype=jnp.float32)
+RECT_UK = jnp.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], dtype=jnp.float32)
 
 
 def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
@@ -144,28 +143,23 @@ def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
     params in the variant's own (a0,a1,b0,b1,k) order.  Returns
     (t, mask, a, b) where (a, b) are the in-plane hit coordinates.
     """
-    axes = RECT_AXES[axis]  # (..., 3)
-    i0, i1, i2 = axes[..., 0], axes[..., 1], axes[..., 2]
-    ro_b = jnp.broadcast_to(ro, jnp.broadcast_shapes(ro.shape, axes.shape))
-    rd_b = jnp.broadcast_to(rd, jnp.broadcast_shapes(rd.shape, axes.shape))
-    o2 = _take_axis(ro_b, i2)
-    d2 = _take_axis(rd_b, i2)
+    ua = RECT_UA[axis]  # (..., 3)
+    ub = RECT_UB[axis]
+    uk = RECT_UK[axis]
+    o2 = jnp.sum(ro * uk, axis=-1)
+    d2 = jnp.sum(rd * uk, axis=-1)
     t = (k - o2) / d2
     mask = (t >= t_min) & (t <= t_max)
-    a = _take_axis(ro_b, i0) + t * _take_axis(rd_b, i0)
-    b = _take_axis(ro_b, i1) + t * _take_axis(rd_b, i1)
+    a = jnp.sum(ro * ua, axis=-1) + t * jnp.sum(rd * ua, axis=-1)
+    b = jnp.sum(ro * ub, axis=-1) + t * jnp.sum(rd * ub, axis=-1)
     mask = mask & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
     return t, mask, a, b
 
 
 def rect_normal(axis, positive):
     """Outward normal of a rect variant before face flipping."""
-    axes = RECT_AXES[axis]
-    i2 = axes[..., 2]
     sign = jnp.where(positive, 1.0, -1.0)
-    n = jnp.zeros(axis.shape + (3,), dtype=jnp.float32)
-    n = jnp.put_along_axis(n, i2[..., None], sign[..., None], axis=-1, inplace=False)
-    return n
+    return RECT_UK[axis] * sign[..., None]
 
 
 def aabb_hit(ro, rd_inv, bb_min, bb_max, t_min, t_max):
@@ -187,21 +181,33 @@ def face_normal(rd, outward_normal):
     return front_face, normal
 
 
+def matvec3(m, v):
+    """(..., 3, 3) @ (..., 3) as explicit f32 multiply-adds on the VPU.
+
+    NEVER use einsum/@ for these: XLA routes them to the MXU, which
+    multiplies in bf16 by default — an O(1e-3) relative error that moves
+    ray origins by whole units at Cornell-box scale and causes
+    self-intersection (observed: transformed-scene walls going black on
+    TPU while CPU renders were correct).
+    """
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
 def transform_ray(inv, inv_t, ro, rd):
     """World ray -> object space (reference transform.rs:72-83).
 
     Returns (ro_obj, rd_obj_unit, norm) where world t = object t / norm.
     ``inv`` is (..., 3, 3) row-major, ``inv_t`` (..., 3).
     """
-    ro_obj = jnp.einsum("...ij,...j->...i", inv, ro) + inv_t
-    d = jnp.einsum("...ij,...j->...i", inv, rd)
+    ro_obj = matvec3(inv, ro) + inv_t
+    d = matvec3(inv, rd)
     n = norm(d)
     return ro_obj, d / jnp.maximum(n[..., None], 1e-30), n
 
 
 def transform_point(fwd, fwd_t, p):
-    return jnp.einsum("...ij,...j->...i", fwd, p) + fwd_t
+    return matvec3(fwd, p) + fwd_t
 
 
 def transform_dir(fwd, d):
-    return jnp.einsum("...ij,...j->...i", fwd, d)
+    return matvec3(fwd, d)

@@ -245,10 +245,26 @@ def intersect_scene(
         best_kind = jnp.where(better, kind, best_kind)
         best_idx = jnp.where(better, idx, best_idx)
 
+    def consider_per_ray(t_best, idx, mask_best, kind):
+        nonlocal best_t, best_kind, best_idx
+        better = mask_best & (t_best < best_t)
+        best_t = jnp.where(better, t_best, best_t)
+        best_kind = jnp.where(better, kind, best_kind)
+        best_idx = jnp.where(better, idx, best_idx)
+
     if scene.n_spheres:
         consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max, med_u), KIND_SPHERE)
     if scene.n_triangles:
-        consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
+        if scene.bvh is not None:
+            from ray_tracing_tpu.ops.bvh import bvh_traverse_triangles
+
+            tr = scene.triangles
+            bh = bvh_traverse_triangles(
+                scene.bvh, tr.v0, tr.e12, tr.e13, ro, rd, t_min, t_max
+            )
+            consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
+        else:
+            consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
     if scene.n_rects:
         consider(*_rect_phase_a(scene, ro, rd, t_min, t_max), KIND_RECT)
 

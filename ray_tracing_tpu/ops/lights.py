@@ -37,8 +37,8 @@ def _to_object(scene: SceneData, tidx: int, p, d_unit):
         return p, d_unit
     inv = scene.transforms.inv[tidx]
     inv_t = scene.transforms.inv_t[tidx]
-    p_o = p @ inv.T + inv_t
-    d_o = geo.normalize(d_unit @ inv.T)
+    p_o = geo.matvec3(inv, p) + inv_t
+    d_o = geo.normalize(geo.matvec3(inv, d_unit))
     return p_o, d_o
 
 
@@ -64,7 +64,7 @@ def _sphere_generate(scene, index, tidx, p, u1, u2):
     d_o = geo.normalize(smp.rotate_local(direction, local))
     if tidx != 0:
         fwd = scene.transforms.fwd[tidx]
-        return geo.normalize(d_o @ fwd.T)
+        return geo.normalize(geo.matvec3(fwd, d_o))
     return d_o
 
 
@@ -100,7 +100,7 @@ def _triangle_generate(scene, index, tidx, p, u1, u2):
     d_o = geo.normalize(point - p_o)
     if tidx != 0:
         fwd = scene.transforms.fwd[tidx]
-        return geo.normalize(d_o @ fwd.T)
+        return geo.normalize(geo.matvec3(fwd, d_o))
     return d_o
 
 
@@ -127,15 +127,15 @@ def _rect_generate(scene, index, tidx, p, u1, u2):
     a = rc.a0[index] + u1 * (rc.a1[index] - rc.a0[index])
     b = rc.b0[index] + u2 * (rc.b1[index] - rc.b0[index])
     k = jnp.broadcast_to(rc.k[index], a.shape)
-    axes = geo.RECT_AXES[axis]  # (3,) static-ish gather
-    point = jnp.zeros(a.shape + (3,), dtype=jnp.float32)
-    point = point.at[..., axes[0]].set(a)
-    point = point.at[..., axes[1]].set(b)
-    point = point.at[..., axes[2]].set(k)
+    point = (
+        geo.RECT_UA[axis] * a[..., None]
+        + geo.RECT_UB[axis] * b[..., None]
+        + geo.RECT_UK[axis] * k[..., None]
+    )
     d_o = geo.normalize(point - p_o)
     if tidx != 0:
         fwd = scene.transforms.fwd[tidx]
-        return geo.normalize(d_o @ fwd.T)
+        return geo.normalize(geo.matvec3(fwd, d_o))
     return d_o
 
 

@@ -55,10 +55,27 @@ def emitted_color(scene: SceneData, hit: Hit) -> jnp.ndarray:
     """Emission at a hit.  Only diffuse-light emits, one-sided
     (reference diffuse_light.rs:18-23)."""
     mat = scene.materials
-    mtype = mat.mtype[hit.material]
     tex = texture_value(scene.textures, mat.tex[hit.material], hit.uv, hit.p)
+    return _emitted_given_tex(scene, hit, tex)
+
+
+def _emitted_given_tex(scene: SceneData, hit: Hit, tex: jnp.ndarray) -> jnp.ndarray:
+    mtype = scene.materials.mtype[hit.material]
     is_light = (mtype == MAT_DIFFUSE_LIGHT) & hit.front_face
     return jnp.where(is_light[..., None], tex, 0.0)
+
+
+def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray):
+    """Fused emission + scatter: evaluates the hit's material texture
+    once (it feeds both the diffuse-light emission and the lambertian /
+    isotropic attenuation).  Returns (emitted (N,3), Scatter)."""
+    tex = texture_value(
+        scene.textures, scene.materials.tex[hit.material], hit.uv, hit.p
+    )
+    return (
+        _emitted_given_tex(scene, hit, tex),
+        _scatter_given_tex(scene, hit, rd_in, u, tex),
+    )
 
 
 def scatter(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray) -> Scatter:
@@ -69,10 +86,18 @@ def scatter(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray) -> S
     materials mix the material pdf with the light pdf 50/50 and weight by
     p_material / p_mixture; Specular materials pass attenuation through.
     """
+    tex = texture_value(
+        scene.textures, scene.materials.tex[hit.material], hit.uv, hit.p
+    )
+    return _scatter_given_tex(scene, hit, rd_in, u, tex)
+
+
+def _scatter_given_tex(
+    scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray, tex: jnp.ndarray
+) -> Scatter:
     mat = scene.materials
     mtype = mat.mtype[hit.material]
     n = hit.normal
-    tex = texture_value(scene.textures, mat.tex[hit.material], hit.uv, hit.p)
 
     # --- lambertian (the only ScatterRecord::Scatter material,
     #     reference lambertian.rs:36-47) ---

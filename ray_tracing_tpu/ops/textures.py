@@ -20,11 +20,40 @@ from ray_tracing_tpu.models.scene import (
     TextureTable,
 )
 
-POINT_COUNT = 256  # reference noise.rs:10
+def _hash_gradient(i, j, k):
+    """Random unit gradient at an integer lattice point via a pcg3d-style
+    integer hash — the TPU-native replacement for the reference's
+    permutation-table gathers (reference noise.rs:20-39, 63-87).  Table
+    gathers cost ~2 ms per 64k lookups on TPU (scalar-unit bound); this
+    is pure VPU integer/float ALU.  Statistically equivalent: iid-random
+    unit gradients per lattice point (and no 256-period tiling)."""
+    M = jnp.uint32(1664525)
+    A = jnp.uint32(1013904223)
+    x = i.astype(jnp.uint32) * M + A
+    y = j.astype(jnp.uint32) * M + A
+    z = k.astype(jnp.uint32) * M + A
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    x = x + y * z
+    y = y + z * x
+    # two uniforms -> unit vector (z-cos / theta form, reference
+    # random.rs:41-51 random_on_unit_sphere)
+    inv = jnp.float32(1.0 / 4294967296.0)
+    u1 = x.astype(jnp.float32) * inv
+    u2 = y.astype(jnp.float32) * inv
+    gz = 2.0 * u1 - 1.0
+    theta = (2.0 * jnp.pi) * u2
+    r = jnp.sqrt(jnp.maximum(1.0 - gz * gz, 0.0))
+    return r * jnp.cos(theta), r * jnp.sin(theta), gz
 
 
 def perlin_noise(tt: TextureTable, p):
-    """Gradient noise with Hermite smoothing (reference noise.rs:41-140).
+    """Gradient noise with Hermite smoothing (reference noise.rs:41-140,
+    perlin_interp at noise.rs:117-140), gradients from ``_hash_gradient``.
 
     ``p`` is (..., 3); returns (...,) f32 in roughly [-1, 1].
     """
@@ -36,18 +65,20 @@ def perlin_noise(tt: TextureTable, p):
     accum = jnp.zeros(p.shape[:-1], dtype=jnp.float32)
     for corner in range(8):
         di, dj, dk = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-        gi = jnp.mod(ijk[..., 0] + di, POINT_COUNT)
-        gj = jnp.mod(ijk[..., 1] + dj, POINT_COUNT)
-        gk = jnp.mod(ijk[..., 2] + dk, POINT_COUNT)
-        idx = tt.perm_x[gi] ^ tt.perm_y[gj] ^ tt.perm_z[gk]
-        c = tt.perlin_vec[idx]  # (..., 3)
-        weight_v = uvw - jnp.array([di, dj, dk], dtype=jnp.float32)
+        gx, gy, gz = _hash_gradient(
+            ijk[..., 0] + di, ijk[..., 1] + dj, ijk[..., 2] + dk
+        )
         w = (
             (uu[..., 0] if di else 1.0 - uu[..., 0])
             * (uu[..., 1] if dj else 1.0 - uu[..., 1])
             * (uu[..., 2] if dk else 1.0 - uu[..., 2])
         )
-        accum = accum + w * jnp.sum(c * weight_v, axis=-1)
+        dot = (
+            gx * (uvw[..., 0] - di)
+            + gy * (uvw[..., 1] - dj)
+            + gz * (uvw[..., 2] - dk)
+        )
+        accum = accum + w * dot
     return accum
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.ops.geometry import EPSILON, INF
 from ray_tracing_tpu.ops.intersect import intersect_scene
-from ray_tracing_tpu.ops.materials import N_SCATTER_U, emitted_color, scatter
+from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 
 
 def trace(
@@ -73,13 +73,11 @@ def trace(
         rad = rad + jnp.where(
             miss[:, None], thr * scene.background[None, :], 0.0
         )
-        em = emitted_color(scene, hit)
-        rad = rad + jnp.where(found[:, None], thr * em, 0.0)
-
         u = jax.random.uniform(
             jax.random.fold_in(kb, 2), (n, N_SCATTER_U), dtype=jnp.float32
         )
-        sc = scatter(scene, hit, rd, u)
+        em, sc = shade(scene, hit, rd, u)
+        rad = rad + jnp.where(found[:, None], thr * em, 0.0)
         new_alive = found & sc.scattered
         thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
         ro = jnp.where(found[:, None], hit.p, ro)
