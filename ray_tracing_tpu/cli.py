@@ -13,6 +13,7 @@ Run: ``python -m ray_tracing_tpu.cli -i data/zy_scene.json -o out.bmp``
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import threading
 import time
@@ -46,6 +47,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--height", type=int, default=None, help="override render height"
     )
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint file: resume from it if present, save to it on "
+             "every progressive save",
+    )
+    p.add_argument(
+        "--profile", default=None,
+        help="capture an XLA profiler trace into this directory",
+    )
+    p.add_argument(
+        "--stats", default=None,
+        help="write per-pass timing/throughput JSON here on exit",
+    )
     return p
 
 
@@ -55,7 +69,9 @@ def main(argv=None) -> int:
     import jax
 
     from ray_tracing_tpu import Renderer, RenderResult, load_scene_json
+    from ray_tracing_tpu.utils.checkpoint import load_render, save_render
     from ray_tracing_tpu.utils.image import save_image
+    from ray_tracing_tpu.utils.profiling import RenderStats, xla_trace
 
     bundle = load_scene_json(args.input, noise_seed=args.seed)
     rparam = bundle.renderer
@@ -68,6 +84,18 @@ def main(argv=None) -> int:
 
     renderer = Renderer(rparam, bundle.camera, bundle.scene)
     result = RenderResult(rparam.width, rparam.height)
+    stats = RenderStats(verbose=False)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        result, ckpt_seed = load_render(args.checkpoint)
+        if ckpt_seed != args.seed:
+            print(
+                f"warning: checkpoint seed {ckpt_seed} != --seed {args.seed}; "
+                "using checkpoint seed", flush=True,
+            )
+            args.seed = ckpt_seed
+        if (result.width, result.height) != (rparam.width, rparam.height):
+            raise SystemExit("checkpoint resolution does not match the render")
+        print(f"resumed at iteration {result.count}", flush=True)
 
     stop = threading.Event()
     if args.iterations == 0 and sys.stdin is not None and sys.stdin.isatty():
@@ -85,23 +113,29 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     last_saved = 0
     last_save_time = start
-    iteration = 0
+    iteration = result.count  # continues a resumed render's key sequence
     try:
-        while not stop.is_set():
-            if args.iterations and iteration >= args.iterations:
-                break
-            t0 = time.perf_counter()
-            colors = np.asarray(renderer.render(jax.random.fold_in(key, iteration)))
-            iteration = result.add(colors)
-            print(f"Iter {iteration} +{time.perf_counter() - t0:.3f}s", flush=True)
-            now = time.perf_counter()
-            if now - last_save_time >= args.save_interval:
-                raw = result.get_raw(last_saved)
-                if raw is not None:
-                    img, last_saved = raw
-                    save_image(args.output, img)
-                    print(f"Iter {last_saved} saved", flush=True)
-                last_save_time = now
+        with xla_trace(args.profile):
+            while not stop.is_set():
+                if args.iterations and iteration >= args.iterations:
+                    break
+                stats.start_pass()
+                colors = np.asarray(
+                    renderer.render(jax.random.fold_in(key, iteration))
+                )
+                iteration = result.add(colors)
+                rec = stats.end_pass()
+                print(f"Iter {iteration} +{rec.seconds:.3f}s", flush=True)
+                now = time.perf_counter()
+                if now - last_save_time >= args.save_interval:
+                    raw = result.get_raw(last_saved)
+                    if raw is not None:
+                        img, last_saved = raw
+                        save_image(args.output, img)
+                        if args.checkpoint:
+                            save_render(args.checkpoint, result, args.seed)
+                        print(f"Iter {last_saved} saved", flush=True)
+                    last_save_time = now
     except KeyboardInterrupt:
         pass
 
@@ -109,7 +143,11 @@ def main(argv=None) -> int:
     if raw is not None:
         img, n = raw
         save_image(args.output, img)
+        if args.checkpoint:
+            save_render(args.checkpoint, result, args.seed)
         print(f"Iter {n} saved", flush=True)
+    if args.stats:
+        stats.dump(args.stats)
     return 0
 
 

@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
 import numpy as np
 
 from ray_tracing_tpu.models.camera import CameraParam
-from ray_tracing_tpu.models.mesh import mesh_triangles, parse_obj
+from ray_tracing_tpu.models.mesh import load_triangles
 from ray_tracing_tpu.models.scene import (
     LIGHT_RECT,
     LIGHT_SPHERE,
@@ -363,8 +363,16 @@ class SceneBuilder:
         build the LBVH (reference Scene::build_bvh, scene.rs:62-70 /
         bvh.rs:162-180 — SAH packet BVH redesigned as a skip-link LBVH,
         see ops/bvh.py)."""
+        import jax.numpy as jnp
+
+        from ray_tracing_tpu import native
         from ray_tracing_tpu.models.scene import LIGHT_TRIANGLE
-        from ray_tracing_tpu.ops.bvh import build_lbvh, morton_order
+        from ray_tracing_tpu.ops.bvh import (
+            LEAF_SIZE,
+            BVHTable,
+            build_lbvh,
+            morton_order,
+        )
 
         v = np.stack([t["v"] for t in self._triangles]).astype(np.float32)
         tmin = v.min(axis=1)
@@ -373,7 +381,9 @@ class SceneBuilder:
         flat = tmax - tmin == 0.0
         tmin = np.where(flat, tmin - 1e-3, tmin)
         tmax = np.where(flat, tmax + 1e-3, tmax)
-        order = morton_order(tmin, tmax)
+        order = native.morton_order(tmin, tmax)
+        if order is None:
+            order = morton_order(tmin, tmax)
         inverse = np.empty_like(order)
         inverse[order] = np.arange(order.shape[0], dtype=np.int32)
         self._triangles = [self._triangles[i] for i in order]
@@ -381,6 +391,17 @@ class SceneBuilder:
             (k, int(inverse[i]) if k == LIGHT_TRIANGLE else i, t)
             for (k, i, t) in self._lights
         ]
+        built = native.lbvh_build(tmin[order], tmax[order], LEAF_SIZE)
+        if built is not None:
+            node_min, node_max, miss, lstart, lcount = built
+            return BVHTable(
+                node_min=jnp.asarray(node_min),
+                node_max=jnp.asarray(node_max),
+                miss_link=jnp.asarray(miss),
+                leaf_start=jnp.asarray(lstart),
+                leaf_count=jnp.asarray(lcount),
+                n_nodes=node_min.shape[0],
+            )
         return build_lbvh(tmin[order], tmax[order])
 
     def build(self) -> SceneData:
@@ -665,13 +686,14 @@ class _JsonVisitor:
         t = np.asarray(d.get("translate", np.zeros(3)), np.float32)
         return (m, t)
 
-    def load_obj(self, file: str):
+    def load_obj(self, file: str, model=None):
         path = os.path.join(self.base_dir, file)
         if not os.path.exists(path):
             path = file
-        if path not in self.obj_cache:
-            self.obj_cache[path] = parse_obj(path)
-        return self.obj_cache[path]
+        cache_key = (path, model if not isinstance(model, list) else tuple(model))
+        if cache_key not in self.obj_cache:
+            self.obj_cache[cache_key] = load_triangles(path, model)
+        return self.obj_cache[cache_key]
 
     def add_object(self, obj: dict) -> None:
         if not obj.get("visible", True):
@@ -718,9 +740,7 @@ class _JsonVisitor:
                 important=important, transform=transform,
             )
         elif ty == "mesh":
-            obj_file = self.load_obj(d["file"])
-            model = d.get("model")
-            pts, nrm, uvs = mesh_triangles(obj_file, model)
+            pts, nrm, uvs = self.load_obj(d["file"], d.get("model"))
             self.b.add_mesh_triangles(
                 pts, nrm, uvs, material,
                 important=important, transform=transform,

@@ -34,6 +34,20 @@ class ObjFile:
     models: List[ObjModel]
 
 
+def load_triangles(
+    path: str, model: Union[int, str, None] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OBJ file -> (pts (F,3,3), normals, uvs), preferring the native C++
+    loader (native/src/v4ray_native.cpp) with this module as fallback —
+    both produce identical arrays (tests assert parity)."""
+    from ray_tracing_tpu import native
+
+    out = native.obj_triangles(path, model)
+    if out is not None:
+        return out
+    return mesh_triangles(parse_obj(path), model)
+
+
 def _resolve(idx: int, count: int) -> int:
     """OBJ 1-based, negative = relative to end."""
     return idx - 1 if idx > 0 else count + idx

@@ -120,3 +120,23 @@ def test_render_pass_is_differentiable():
     ga = np.asarray(g[0])
     assert np.isfinite(ga).all()
     assert np.abs(ga).sum() > 0.0
+
+
+def test_albedo_fit_converges():
+    """Matched-key path-replay inverse rendering recovers scene albedos
+    (the BASELINE C5 capability), on the examples/fit_albedo.py scene."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        import fit_albedo
+    finally:
+        sys.path.pop(0)
+
+    argv = sys.argv
+    sys.argv = ["fit_albedo", "--steps", "50", "--size", "24", "--depth", "3"]
+    try:
+        err = fit_albedo.main()
+    finally:
+        sys.argv = argv
+    assert err < 0.05, err

@@ -17,13 +17,6 @@ from v4ray_tpu.core import AABB, HitRecord, Ray
 EPSILON = 1e-3
 
 
-def _hit_via_kernel(kernel_args_fn):
-    """Run a jnp geometry kernel on a numpy Ray batch."""
-    import jax.numpy as jnp
-
-    return jnp, kernel_args_fn
-
-
 class Sphere:
     """reference src/hittable/sphere.rs:25-180."""
 
@@ -153,7 +146,7 @@ class Mesh:
         self.model = model
 
     def _build(self, b, material: int, important: bool) -> None:
-        from ray_tracing_tpu.models.mesh import mesh_triangles, parse_obj
+        from ray_tracing_tpu.models.mesh import load_triangles
 
-        pts, nrm, uvs = mesh_triangles(parse_obj(self.file), self.model)
+        pts, nrm, uvs = load_triangles(self.file, self.model)
         b.add_mesh_triangles(pts, nrm, uvs, material, important=important)
