@@ -20,8 +20,10 @@ column per medium primitive), so Phase B reproduces Phase A's stochastic
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -252,7 +254,26 @@ def intersect_scene(
         best_kind = jnp.where(better, kind, best_kind)
         best_idx = jnp.where(better, idx, best_idx)
 
-    if scene.n_spheres:
+    # Pallas fast path for the analytic sweep: untransformed, non-medium
+    # spheres + rects go through one fused VMEM kernel on TPU
+    # (ops/pallas_intersect.py); set RAY_TPU_NO_PALLAS=1 to disable.
+    use_pallas = False
+    if os.environ.get("RAY_TPU_NO_PALLAS") != "1":
+        from ray_tracing_tpu.ops.pallas_intersect import (
+            pallas_eligible,
+            pallas_phase_a,
+        )
+
+        use_pallas = pallas_eligible(scene) and jax.default_backend() in (
+            "tpu", "axon",
+        )
+    if use_pallas:
+        pt, pkind, pidx = pallas_phase_a(scene, ro, rd)
+        better = (pkind >= 0) & (pt < best_t)
+        best_t = jnp.where(better, pt, best_t)
+        best_kind = jnp.where(better, pkind, best_kind)
+        best_idx = jnp.where(better, pidx, best_idx)
+    elif scene.n_spheres:
         consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max, med_u), KIND_SPHERE)
     if scene.n_triangles:
         if scene.bvh is not None:
@@ -265,7 +286,7 @@ def intersect_scene(
             consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
         else:
             consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
-    if scene.n_rects:
+    if scene.n_rects and not use_pallas:
         consider(*_rect_phase_a(scene, ro, rd, t_min, t_max), KIND_RECT)
 
     mask = best_kind != KIND_NONE

@@ -1,0 +1,210 @@
+"""Pallas TPU kernel for the analytic-primitive nearest-hit sweep.
+
+Phase A of the wavefront intersection (ops/intersect.py) evaluates every
+sphere and rect against every ray and argmin-reduces.  The XLA version
+materializes (N, P) candidate grids in HBM; this kernel keeps the whole
+sweep in VMEM/registers: rays live as component-major (rows, 128) f32
+blocks, primitive parameters sit in SMEM and the per-primitive loop is
+fully unrolled (P is a small compile-time constant), so each ray block
+is read once and only the per-ray winner (t, kind, index) is written.
+
+Eligibility (checked by the caller): no instancing transforms and no
+constant-medium primitives — those take the XLA path.  Results are
+bit-identical to the XLA kernels (same formulas, same tie-breaking);
+tests compare them directly, in interpreter mode on CPU and compiled on
+TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_tracing_tpu.models.scene import SceneData
+from ray_tracing_tpu.ops.intersect import KIND_RECT, KIND_SPHERE
+
+LANES = 128
+BLOCK_ROWS = 64  # 64 x 128 = 8192 rays per program
+
+EPSILON = 1e-3
+INF = np.float32(np.inf)
+
+
+def _sphere_block(ro, rd, c, r, t_min, best):
+    """One sphere vs a ray block; returns updated (t, kind, idx) best."""
+    best_t, best_kind, best_idx, s_idx = best
+    ocx = ro[0] - c[0]
+    ocy = ro[1] - c[1]
+    ocz = ro[2] - c[2]
+    half_b = ocx * rd[0] + ocy * rd[1] + ocz * rd[2]
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = half_b * half_b - cc
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    root1 = -half_b - sq
+    root2 = -half_b + sq
+    mask1 = ok & (root1 >= t_min) & (root1 <= best_t)
+    mask2 = ok & (root2 >= t_min) & (root2 <= best_t)
+    t = jnp.where(mask1, root1, root2)
+    better = (mask1 | mask2) & (t < best_t)
+    best_t = jnp.where(better, t, best_t)
+    best_kind = jnp.where(better, KIND_SPHERE, best_kind)
+    best_idx = jnp.where(better, s_idx, best_idx)
+    return best_t, best_kind, best_idx
+
+
+def _rect_block(ro, rd, basis, bounds, t_min, best):
+    """One rect vs a ray block.  ``basis`` = (ua, ub, uk) each a 3-tuple
+    of scalars; ``bounds`` = (a0, a1, b0, b1, k)."""
+    best_t, best_kind, best_idx, r_idx = best
+    ua, ub, uk = basis
+    a0, a1, b0, b1, k = bounds
+    o2 = ro[0] * uk[0] + ro[1] * uk[1] + ro[2] * uk[2]
+    d2 = rd[0] * uk[0] + rd[1] * uk[1] + rd[2] * uk[2]
+    t = (k - o2) / d2
+    mask = (t >= t_min) & (t <= best_t)
+    a = (ro[0] * ua[0] + ro[1] * ua[1] + ro[2] * ua[2]) + t * (
+        rd[0] * ua[0] + rd[1] * ua[1] + rd[2] * ua[2]
+    )
+    b = (ro[0] * ub[0] + ro[1] * ub[1] + ro[2] * ub[2]) + t * (
+        rd[0] * ub[0] + rd[1] * ub[1] + rd[2] * ub[2]
+    )
+    mask = mask & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
+    better = mask & (t < best_t)
+    best_t = jnp.where(better, t, best_t)
+    best_kind = jnp.where(better, KIND_RECT, best_kind)
+    best_idx = jnp.where(better, r_idx, best_idx)
+    return best_t, best_kind, best_idx
+
+
+def _kernel(n_spheres, n_rects,
+            sph_ref, rect_ref,
+            rox, roy, roz, rdx, rdy, rdz,
+            t_out, kind_out, idx_out):
+    ro = (rox[:], roy[:], roz[:])
+    rd = (rdx[:], rdy[:], rdz[:])
+    shape = ro[0].shape
+    best_t = jnp.full(shape, INF, jnp.float32)
+    best_kind = jnp.full(shape, -1, jnp.int32)
+    best_idx = jnp.zeros(shape, jnp.int32)
+
+    for s in range(n_spheres):
+        best_t, best_kind, best_idx = _sphere_block(
+            ro, rd,
+            (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]),
+            sph_ref[s, 3],
+            EPSILON,
+            (best_t, best_kind, best_idx, s),
+        )
+    for r in range(n_rects):
+        best_t, best_kind, best_idx = _rect_block(
+            ro, rd,
+            (
+                (rect_ref[r, 0], rect_ref[r, 1], rect_ref[r, 2]),
+                (rect_ref[r, 3], rect_ref[r, 4], rect_ref[r, 5]),
+                (rect_ref[r, 6], rect_ref[r, 7], rect_ref[r, 8]),
+            ),
+            (rect_ref[r, 9], rect_ref[r, 10], rect_ref[r, 11], rect_ref[r, 12],
+             rect_ref[r, 13]),
+            EPSILON,
+            (best_t, best_kind, best_idx, r),
+        )
+    t_out[:] = best_t
+    kind_out[:] = best_kind
+    idx_out[:] = best_idx
+
+
+def pack_primitive_tables(scene: SceneData):
+    """Host/trace-time packing of primitive parameters into the SMEM
+    scalar tables the kernel reads: spheres (S, 4) = [cx cy cz r];
+    rects (R, 13) = [ua(3) ub(3) uk(3) a0 a1 b0 b1] with uk signed by k
+    ... actually [ua ub uk a0 a1 b0 b1 k]."""
+    from ray_tracing_tpu.ops.geometry import RECT_UA, RECT_UB, RECT_UK
+
+    sp = scene.spheres
+    sph = jnp.concatenate([sp.center, sp.radius[:, None]], axis=1)
+    rc = scene.rects
+    rect = jnp.concatenate(
+        [
+            RECT_UA[rc.axis],
+            RECT_UB[rc.axis],
+            RECT_UK[rc.axis],
+            rc.a0[:, None], rc.a1[:, None], rc.b0[:, None], rc.b1[:, None],
+            rc.k[:, None],
+        ],
+        axis=1,
+    )
+    return sph.astype(jnp.float32), rect.astype(jnp.float32)
+
+
+def pallas_eligible(scene: SceneData) -> bool:
+    """The kernel covers untransformed, non-medium spheres + rects."""
+    return (
+        not scene.spheres.has_transforms
+        and not scene.spheres.has_medium
+        and not scene.rects.has_transforms
+        and (scene.n_spheres + scene.n_rects) > 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_rects", "interpret"))
+def _run(sph, rect, rox, roy, roz, rdx, rdy, rdz, *, n_spheres, n_rects,
+         interpret):
+    rows = rox.shape[0]
+    grid = (rows // BLOCK_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    out_shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    kernel = functools.partial(_kernel, n_spheres, n_rects)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec],
+        out_shape=[out_shape, out_shape_i, out_shape_i],
+        interpret=interpret,
+    )(sph, rect, rox, roy, roz, rdx, rdy, rdz)
+
+
+def pallas_phase_a(scene: SceneData, ro, rd, interpret: bool = False):
+    """Nearest analytic-primitive candidate per ray via the Pallas sweep.
+
+    ro, rd: (N, 3).  Returns (t (N,), kind (N,), idx (N,)) with kind -1
+    on miss.  N is padded internally to a block multiple.
+    """
+    # Selection is discrete (like the BVH walk): run on stop_gradient'ed
+    # inputs; gradients flow through the phase-B record rebuild instead.
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    scene = jax.lax.stop_gradient(scene)
+    n = ro.shape[0]
+    block = BLOCK_ROWS * LANES
+    n_pad = -(-n // block) * block
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    rows = n_pad // LANES
+
+    comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
+    comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+    sph, rect = pack_primitive_tables(scene)
+    t, kind, idx = _run(
+        sph, rect, *comps,
+        n_spheres=scene.n_spheres, n_rects=scene.n_rects,
+        interpret=interpret,
+    )
+    return (
+        t.reshape(-1)[:n],
+        kind.reshape(-1)[:n],
+        idx.reshape(-1)[:n],
+    )

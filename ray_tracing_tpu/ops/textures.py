@@ -20,40 +20,37 @@ from ray_tracing_tpu.models.scene import (
     TextureTable,
 )
 
-def _hash_gradient(i, j, k):
-    """Random unit gradient at an integer lattice point via a pcg3d-style
-    integer hash — the TPU-native replacement for the reference's
-    permutation-table gathers (reference noise.rs:20-39, 63-87).  Table
-    gathers cost ~2 ms per 64k lookups on TPU (scalar-unit bound); this
-    is pure VPU integer/float ALU.  Statistically equivalent: iid-random
-    unit gradients per lattice point (and no 256-period tiling)."""
-    M = jnp.uint32(1664525)
-    A = jnp.uint32(1013904223)
-    x = i.astype(jnp.uint32) * M + A
-    y = j.astype(jnp.uint32) * M + A
-    z = k.astype(jnp.uint32) * M + A
-    x = x + y * z
-    y = y + z * x
-    z = z + x * y
-    x = x ^ (x >> 16)
-    y = y ^ (y >> 16)
-    z = z ^ (z >> 16)
-    x = x + y * z
-    y = y + z * x
-    # two uniforms -> unit vector (z-cos / theta form, reference
-    # random.rs:41-51 random_on_unit_sphere)
-    inv = jnp.float32(1.0 / 4294967296.0)
-    u1 = x.astype(jnp.float32) * inv
-    u2 = y.astype(jnp.float32) * inv
-    gz = 2.0 * u1 - 1.0
-    theta = (2.0 * jnp.pi) * u2
-    r = jnp.sqrt(jnp.maximum(1.0 - gz * gz, 0.0))
-    return r * jnp.cos(theta), r * jnp.sin(theta), gz
+def _lattice_hash(i, j, k):
+    """Integer hash of a lattice point — the TPU-native replacement for
+    the reference's permutation-table gathers (reference noise.rs:20-39,
+    63-87).  Table gathers cost ~2 ms per 64k lookups on TPU
+    (scalar-unit bound); this is a handful of VPU integer ops."""
+    h = (
+        i.astype(jnp.uint32) * jnp.uint32(73856093)
+        ^ j.astype(jnp.uint32) * jnp.uint32(19349663)
+        ^ k.astype(jnp.uint32) * jnp.uint32(83492791)
+    )
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _grad_dot(h, x, y, z):
+    """Ken Perlin's improved-noise gradient dot: the hash selects one of
+    12 edge directions (+-1,+-1,0 permutations) and the dot product is
+    two adds with sign flips — no transcendentals.  The reference draws
+    random unit gradients instead (noise.rs:20-23); the noise field
+    class is the same and this costs ~100x less on the VPU."""
+    h4 = h & jnp.uint32(15)
+    u = jnp.where(h4 < 8, x, y)
+    v = jnp.where(h4 < 4, y, jnp.where((h4 == 12) | (h4 == 14), x, z))
+    return jnp.where((h4 & 1) == 0, u, -u) + jnp.where((h4 & 2) == 0, v, -v)
 
 
 def perlin_noise(tt: TextureTable, p):
     """Gradient noise with Hermite smoothing (reference noise.rs:41-140,
-    perlin_interp at noise.rs:117-140), gradients from ``_hash_gradient``.
+    perlin_interp at noise.rs:117-140), gradients via ``_grad_dot``.
 
     ``p`` is (..., 3); returns (...,) f32 in roughly [-1, 1].
     """
@@ -62,10 +59,11 @@ def perlin_noise(tt: TextureTable, p):
     ijk = fl.astype(jnp.int32)
     uu = uvw * uvw * (3.0 - 2.0 * uvw)  # (..., 3)
 
+    x, y, z = uvw[..., 0], uvw[..., 1], uvw[..., 2]
     accum = jnp.zeros(p.shape[:-1], dtype=jnp.float32)
     for corner in range(8):
         di, dj, dk = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-        gx, gy, gz = _hash_gradient(
+        h = _lattice_hash(
             ijk[..., 0] + di, ijk[..., 1] + dj, ijk[..., 2] + dk
         )
         w = (
@@ -73,13 +71,9 @@ def perlin_noise(tt: TextureTable, p):
             * (uu[..., 1] if dj else 1.0 - uu[..., 1])
             * (uu[..., 2] if dk else 1.0 - uu[..., 2])
         )
-        dot = (
-            gx * (uvw[..., 0] - di)
-            + gy * (uvw[..., 1] - dj)
-            + gz * (uvw[..., 2] - dk)
-        )
-        accum = accum + w * dot
-    return accum
+        accum = accum + w * _grad_dot(h, x - di, y - dj, z - dk)
+    # scale so the amplitude matches unit-gradient noise (~[-1, 1])
+    return accum * jnp.float32(0.7071)
 
 
 def perlin_turb(tt: TextureTable, p, depth, max_depth: int):

@@ -40,6 +40,7 @@ def trace(
     *,
     remat: bool = False,
     with_stats: bool = False,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """Trace a wavefront to completion; returns (N, 3) linear radiance.
 
@@ -87,9 +88,28 @@ def trace(
     if remat:
         body = jax.checkpoint(body, static_argnums=())
 
-    rad, thr, ro, rd, alive, segments = jax.lax.fori_loop(
-        0, max_depth, body, (rad, thr, ro, rd, alive, segments)
-    )
+    init = (rad, thr, ro, rd, alive, segments)
+    if early_exit:
+        # Stop as soon as the whole wavefront is dead (most of the
+        # reference's fixed-depth budget is spent on dead lanes: zy at
+        # depth 20 averages 3.85 live bounces).  while_loop is not
+        # reverse-differentiable, so this is the forward-render path
+        # only; gradients use the scan form below.
+        def cond(state):
+            b, carry = state
+            return (b < max_depth) & jnp.any(carry[4])
+
+        def wbody(state):
+            b, carry = state
+            return b + 1, body(b, carry)
+
+        _, (rad, thr, ro, rd, alive, segments) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), init)
+        )
+    else:
+        rad, thr, ro, rd, alive, segments = jax.lax.fori_loop(
+            0, max_depth, body, init
+        )
     # depth exhausted -> environment (reference renderer.rs:128-130)
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
     if with_stats:

@@ -68,6 +68,7 @@ def render_pass(
     tile_size: int,
     remat: bool = False,
     with_stats: bool = False,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """One full-image 1-spp pass -> (H, W, 3) linear radiance.
 
@@ -98,7 +99,7 @@ def render_pass(
         ro_t, rd_t, tid = args
         return trace(
             scene, ro_t, rd_t, jax.random.fold_in(k_trace, tid), max_depth,
-            remat=remat, with_stats=with_stats,
+            remat=remat, with_stats=with_stats, early_exit=early_exit,
         )
 
     if n_tiles == 1:
@@ -124,6 +125,7 @@ class Renderer:
         camera: CameraParam,
         scene: SceneData,
         tile_size: Optional[int] = None,
+        early_exit: Optional[bool] = None,
     ):
         self.param = param
         self.scene = scene
@@ -135,6 +137,13 @@ class Renderer:
         )
         self.max_depth = param.max_depth if param.max_depth is not None else 20
         self.antialias = param.antialias if param.antialias is not None else True
+        if early_exit is None:
+            # Heuristic: open scenes (no importance-sampled lights, rays
+            # escape to the background quickly) gain a lot from stopping
+            # when the wavefront dies; closed Cornell-style scenes keep a
+            # tail of live rays to full depth and the while_loop's lost
+            # cross-bounce pipelining costs ~10%.
+            early_exit = not scene.has_lights
         self._render = jax.jit(
             partial(
                 render_pass,
@@ -143,6 +152,7 @@ class Renderer:
                 max_depth=self.max_depth,
                 antialias=self.antialias,
                 tile_size=self.tile_size,
+                early_exit=early_exit,
             )
         )
 
