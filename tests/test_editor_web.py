@@ -1,0 +1,100 @@
+"""Web editor API tests: serve, edit, undo, render through HTTP."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def server():
+    from ray_tracing_tpu.editor.web import serve
+
+    srv = serve(port=0)  # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())  # API errors come back as JSON bodies
+
+
+def test_editor_edit_render_undo_cycle(server):
+    state = _get(server + "/api/state")
+    assert state["analysis"]["camera_valid"]
+    sphere_key = next(
+        k for k, v in state["document"]["objects"].items() if v["name"] == "sphere"
+    )
+
+    # add + wire a red material
+    _post(server + "/api/edit", {"action": "add_texture", "name": "t"})
+    state = _get(server + "/api/state")
+    tex = next(k for k, v in state["document"]["textures"].items() if v["name"] == "t")
+    _post(server + "/api/edit",
+          {"action": "set_texture", "key": tex, "kind": "solid color",
+           "values": [[255, 0, 0]]})
+    _post(server + "/api/edit", {"action": "add_material", "name": "m"})
+    state = _get(server + "/api/state")
+    mat = next(k for k, v in state["document"]["materials"].items() if v["name"] == "m")
+    _post(server + "/api/edit",
+          {"action": "set_material", "key": mat, "kind": "lambertian",
+           "values": [{"uuid": tex}]})
+    state = _post(server + "/api/edit",
+                  {"action": "set_object", "key": sphere_key, "material": mat})
+    assert mat in state["analysis"]["valid_materials"]
+
+    # render: red channel dominates at the sphere
+    out = _get(server + "/api/render?passes=2")
+    img = np.asarray(
+        __import__("PIL.Image", fromlist=["Image"]).open(
+            io.BytesIO(base64.b64decode(out["png"]))
+        )
+    )
+    h, w = img.shape[:2]
+    center = img[h // 2 - 6 : h // 2 + 6, w // 2 - 6 : w // 2 + 6]
+    assert center[..., 0].mean() > center[..., 2].mean()
+
+    # undo unwinds the material assignment
+    state = _post(server + "/api/undo", {})
+    sphere = state["document"]["objects"][sphere_key]
+    assert sphere.get("material") != mat
+    state = _post(server + "/api/redo", {})
+    assert state["document"]["objects"][sphere_key]["material"] == mat
+
+
+def test_editor_error_paths(server):
+    out = _post(server + "/api/edit", {"action": "explode"})
+    assert "unknown action" in out["error"]
+    out = _post(server + "/api/edit",
+                {"action": "set_shape", "key": "nope", "kind": "sphere",
+                 "values": [0, 0, 0, 1]})
+    assert "error" in out
+
+
+def test_registries_meta(server):
+    regs = _get(server + "/api/registries")
+    assert "sphere" in regs["shapes"]
+    assert [p["name"] for p in regs["shapes"]["sphere"]] == [
+        "center x", "center y", "center z", "radius",
+    ]
+    assert "lambertian" in regs["materials"]
+    assert "perspective" in regs["cameras"]
