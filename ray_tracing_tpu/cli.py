@@ -120,11 +120,16 @@ def main(argv=None) -> int:
                 if args.iterations and iteration >= args.iterations:
                     break
                 stats.start_pass()
-                colors = np.asarray(
-                    renderer.render(jax.random.fold_in(key, iteration))
-                )
+                pass_key = jax.random.fold_in(key, iteration)
+                if args.stats:
+                    colors, segments = renderer.render_with_stats(pass_key)
+                    colors = np.asarray(colors)
+                    segments = float(segments)
+                else:
+                    colors = np.asarray(renderer.render(pass_key))
+                    segments = 0.0
                 iteration = result.add(colors)
-                rec = stats.end_pass()
+                rec = stats.end_pass(segments)
                 print(f"Iter {iteration} +{rec.seconds:.3f}s", flush=True)
                 now = time.perf_counter()
                 if now - last_save_time >= args.save_interval:

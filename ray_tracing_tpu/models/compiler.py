@@ -372,6 +372,7 @@ class SceneBuilder:
             BVHTable,
             build_lbvh,
             morton_order,
+            pack_bvh,
         )
 
         v = np.stack([t["v"] for t in self._triangles]).astype(np.float32)
@@ -394,7 +395,7 @@ class SceneBuilder:
         built = native.lbvh_build(tmin[order], tmax[order], LEAF_SIZE)
         if built is not None:
             node_min, node_max, miss, lstart, lcount = built
-            return BVHTable(
+            bvh = BVHTable(
                 node_min=jnp.asarray(node_min),
                 node_max=jnp.asarray(node_max),
                 miss_link=jnp.asarray(miss),
@@ -402,7 +403,10 @@ class SceneBuilder:
                 leaf_count=jnp.asarray(lcount),
                 n_nodes=node_min.shape[0],
             )
-        return build_lbvh(tmin[order], tmax[order])
+        else:
+            bvh = build_lbvh(tmin[order], tmax[order])
+        sv = v[order]
+        return pack_bvh(bvh, sv[:, 0], sv[:, 1] - sv[:, 0], sv[:, 2] - sv[:, 0])
 
     def build(self) -> SceneData:
         f32, i32 = np.float32, np.int32

@@ -45,7 +45,43 @@ class BVHTable:
     miss_link: jnp.ndarray  # (M,) i32 — next node on AABB miss (M = done)
     leaf_start: jnp.ndarray  # (M,) i32 — first sorted-triangle id, -1 internal
     leaf_count: jnp.ndarray  # (M,) i32
+    # packed per-node rows for the traversal loop: TPU gathers are
+    # scalar-unit bound (~2 ms per 64k lookups), so each while-loop
+    # iteration fetches at most three rows per ray instead of ~17
+    # scattered scalars: geometry (min|max), topology (miss|start|count)
+    # and the leaf's LEAF_SIZE triangles embedded as one row.
+    node_f: jnp.ndarray = None  # (M, 6) f32 [min(3) max(3)]
+    node_i: jnp.ndarray = None  # (M, 3) i32 [miss leaf_start leaf_count]
+    leaf_tris: jnp.ndarray = None  # (M, LEAF_SIZE*9) f32 [v0 e12 e13]*K
     n_nodes: int = struct.field(pytree_node=False, default=0)
+
+
+def pack_bvh(bvh: "BVHTable", v0, e12, e13) -> "BVHTable":
+    """Attach the packed traversal rows (host-side, numpy in/out).
+
+    v0/e12/e13: (T, 3) triangle data in the table's (Morton) order.
+    """
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    miss = np.asarray(bvh.miss_link)
+    start = np.asarray(bvh.leaf_start)
+    count = np.asarray(bvh.leaf_count)
+    m = node_min.shape[0]
+    node_f = np.concatenate([node_min, node_max], axis=1).astype(np.float32)
+    node_i = np.stack([miss, start, count], axis=1).astype(np.int32)
+    tris = np.concatenate(
+        [np.asarray(v0), np.asarray(e12), np.asarray(e13)], axis=1
+    ).astype(np.float32)  # (T, 9)
+    leaf_tris = np.zeros((m, LEAF_SIZE * 9), np.float32)
+    leaf = start >= 0
+    for i in np.nonzero(leaf)[0]:
+        c = count[i]
+        leaf_tris[i, : c * 9] = tris[start[i] : start[i] + c].reshape(-1)
+    return bvh.replace(
+        node_f=jnp.asarray(node_f),
+        node_i=jnp.asarray(node_i),
+        leaf_tris=jnp.asarray(leaf_tris),
+    )
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:
@@ -137,9 +173,6 @@ class BVHHit(NamedTuple):
 
 def bvh_traverse_triangles(
     bvh: BVHTable,
-    v0s: jnp.ndarray,  # (T, 3) in the table's (Morton) order
-    e12s: jnp.ndarray,
-    e13s: jnp.ndarray,
     ro: jnp.ndarray,  # (N, 3)
     rd: jnp.ndarray,
     t_min,
@@ -149,8 +182,9 @@ def bvh_traverse_triangles(
 
     The candidate set the reference's packet traversal produces
     (bvh.rs:182-239) is here consumed immediately: leaves intersect
-    their LEAF_SIZE triangles in-line, shrinking t_max as hits land
-    (the nearest-hit merge of renderer.rs:170-182).
+    their LEAF_SIZE triangles in-line (embedded in the packed node row),
+    shrinking t_max as hits land (the nearest-hit merge of
+    renderer.rs:170-182).
     """
     n = ro.shape[0]
     m = bvh.n_nodes
@@ -159,7 +193,9 @@ def bvh_traverse_triangles(
     ro_s = jax.lax.stop_gradient(ro)
     rd_s = jax.lax.stop_gradient(rd)
     rd_inv = jax.lax.stop_gradient(rd_inv)
-    v0s, e12s, e13s = map(jax.lax.stop_gradient, (v0s, e12s, e13s))
+    node_f = jax.lax.stop_gradient(bvh.node_f)
+    node_i = bvh.node_i
+    leaf_tris = jax.lax.stop_gradient(bvh.leaf_tris)
 
     def cond(state):
         node, best_t, best_i = state
@@ -168,30 +204,32 @@ def bvh_traverse_triangles(
     def body(state):
         node, best_t, best_i = state
         nd = jnp.minimum(node, m - 1)
-        bb_min = bvh.node_min[nd]
-        bb_max = bvh.node_max[nd]
-        hit_box = geo.aabb_hit(ro_s, rd_inv, bb_min, bb_max, t_min, best_t)
+        nf = node_f[nd]  # (N, 6)
+        ni = node_i[nd]  # (N, 3)
+        hit_box = geo.aabb_hit(ro_s, rd_inv, nf[:, 0:3], nf[:, 3:6], t_min, best_t)
         active = node < m
         hit_box = hit_box & active
 
-        start = bvh.leaf_start[nd]
-        count = bvh.leaf_count[nd]
+        miss = ni[:, 0]
+        start = ni[:, 1]
+        count = ni[:, 2]
         is_leaf = (start >= 0) & hit_box
 
-        # leaf: test LEAF_SIZE triangles (masked beyond count)
+        # leaf: test the embedded LEAF_SIZE triangles (masked past count)
+        lt = leaf_tris[nd]  # (N, LEAF_SIZE*9)
         for k in range(LEAF_SIZE):
-            tri = jnp.minimum(start + k, v0s.shape[0] - 1)
+            row = lt[:, k * 9 : (k + 1) * 9]
             valid = is_leaf & (k < count)
             t, mask, _, _, _ = geo.triangle_t(
-                ro_s, rd_s, v0s[tri], e12s[tri], e13s[tri], t_min, best_t
+                ro_s, rd_s, row[:, 0:3], row[:, 3:6], row[:, 6:9], t_min, best_t
             )
             take = valid & mask & (t < best_t)
             best_t = jnp.where(take, t, best_t)
-            best_i = jnp.where(take, tri, best_i)
+            best_i = jnp.where(take, start + k, best_i)
 
         # advance: internal hit -> node+1; leaf or miss -> skip subtree
         descend = hit_box & (start < 0)
-        next_node = jnp.where(descend, node + 1, bvh.miss_link[nd])
+        next_node = jnp.where(descend, node + 1, miss)
         next_node = jnp.where(active, next_node, node)
         return next_node, best_t, best_i
 

@@ -279,10 +279,7 @@ def intersect_scene(
         if scene.bvh is not None:
             from ray_tracing_tpu.ops.bvh import bvh_traverse_triangles
 
-            tr = scene.triangles
-            bh = bvh_traverse_triangles(
-                scene.bvh, tr.v0, tr.e12, tr.e13, ro, rd, t_min, t_max
-            )
+            bh = bvh_traverse_triangles(scene.bvh, ro, rd, t_min, t_max)
             consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
         else:
             consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)

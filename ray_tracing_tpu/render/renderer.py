@@ -156,15 +156,35 @@ class Renderer:
             )
         )
 
-    def render(self, key) -> jnp.ndarray:
-        """One 1-spp pass; ``key`` is a PRNG key or an int seed.
-        Returns (H, W, 3) float32 linear radiance on device."""
+    @staticmethod
+    def _as_key(key):
         if not (
             isinstance(key, jax.Array)
             and jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key)
         ):
             key = jax.random.key(int(key))
-        return self._render(self.scene, self.camera, key)
+        return key
+
+    def render(self, key) -> jnp.ndarray:
+        """One 1-spp pass; ``key`` is a PRNG key or an int seed.
+        Returns (H, W, 3) float32 linear radiance on device."""
+        return self._render(self.scene, self.camera, self._as_key(key))
+
+    def render_with_stats(self, key):
+        """(image, traced_segment_count) — the honest rays/s numerator."""
+        if not hasattr(self, "_render_stats"):
+            self._render_stats = jax.jit(
+                partial(
+                    render_pass,
+                    width=self.param.width,
+                    height=self.param.height,
+                    max_depth=self.max_depth,
+                    antialias=self.antialias,
+                    tile_size=self.tile_size,
+                    with_stats=True,
+                )
+            )
+        return self._render_stats(self.scene, self.camera, self._as_key(key))
 
     async def render_async(self, key):
         """Awaitable render matching the reference's async Python API

@@ -63,9 +63,7 @@ def test_bvh_matches_brute_force_on_bunny():
     ro = jnp.asarray(origins)
     rd = jnp.asarray(d)
 
-    bh = bvh_traverse_triangles(
-        scene.bvh, tr.v0, tr.e12, tr.e13, ro, rd, 1e-3, jnp.inf
-    )
+    bh = bvh_traverse_triangles(scene.bvh, ro, rd, 1e-3, jnp.inf)
 
     # brute force over all 4968 triangles
     t, mask, *_ = geo.triangle_t(

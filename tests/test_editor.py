@@ -261,3 +261,50 @@ def test_progressive_render_controller():
     img = ctl.result.mean()
     assert img.shape == (24, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_export_to_cli_schema_and_render():
+    """Editor Document -> CLI scene schema -> compiled scene renders the
+    same picture class as the editor path."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from weekend_scene import build
+    finally:
+        sys.path.pop(0)
+
+    from ray_tracing_tpu import Renderer, RendererParam, build_scene
+    from ray_tracing_tpu.editor.export import document_to_scene_param
+
+    doc = build(seed=2)
+    param = document_to_scene_param(doc)
+    assert param["renderer"]["width"] == 1200
+    assert len(param["objects"]) == len(analyze(doc).rendered_objects)
+    bundle = build_scene(param)
+    assert bundle.scene.n_spheres == len(param["objects"])
+    r = Renderer(RendererParam(48, 32, max_depth=3), bundle.camera, bundle.scene)
+    img = np.asarray(r.render(0))
+    assert img.shape == (32, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05  # sky + spheres actually render
+
+
+def test_export_marks_lights_important():
+    doc = Document(renderer=RendererData(8, 8, 2, (0, 0, 0)))
+    doc = doc.set_camera(
+        ("perspective",
+         [0.0, 0.0, 1.0, 0.0, 0.0, -1.0, 60.0, 0.0, 1.0, 0.0, 0.0, 2.0, 0.0, 0.0])
+    )
+    doc, mat = doc.add_material("lamp", ("diffuse light", [(255, 255, 255), 5.0]))
+    doc, _ = doc.add_object(
+        "light", shape=("zx-rect", [-1.0, 1.0, -1.0, 1.0, 2.0, -1.0]),
+        material=mat, visible=True,
+    )
+    from ray_tracing_tpu.editor.export import document_to_scene_param
+
+    param = document_to_scene_param(doc)
+    assert param["objects"][0]["important"] is True
+    from ray_tracing_tpu import build_scene
+
+    assert build_scene(param).scene.n_lights == 1
