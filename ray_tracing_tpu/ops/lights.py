@@ -165,6 +165,11 @@ def lights_generate(scene: SceneData, p, u_pick, u1, u2):
     dirs = []
     for kind, index, tidx in zip(lt.kind, lt.index, lt.transform):
         dirs.append(_GENERATE[kind](scene, index, tidx, p, u1, u2))
-    stacked = jnp.stack(dirs, axis=0)  # (L, N, 3)
+    if n == 1:  # no pick needed (gathers are expensive on TPU)
+        return dirs[0]
     pick = jnp.minimum((u_pick * n).astype(jnp.int32), n - 1)
-    return jnp.take_along_axis(stacked, pick[None, :, None], axis=0)[0]
+    # static unrolled select over the small light list
+    out = dirs[0]
+    for i in range(1, n):
+        out = jnp.where((pick == i)[..., None], dirs[i], out)
+    return out

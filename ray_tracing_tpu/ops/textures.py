@@ -10,6 +10,7 @@ id of the material it hit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ray_tracing_tpu.models.scene import (
@@ -122,18 +123,32 @@ def texture_value(tt: TextureTable, idx, uv, p):
     ttype = tt.ttype[idx]
     out = tt.color[idx]  # TEX_SOLID default (reference solid_color.rs:21-28)
 
+    # The expensive families are gated with lax.cond on "does any ray in
+    # this block actually need it": atlas point-gathers cost ~2 ms per
+    # 64k rays on TPU and noise is 8 corner-hashes x octaves, but most
+    # bounce blocks contain no ray that hit those materials.
     if tt.images.shape[0] > 0:
-        img = image_value(tt, tt.image[idx], uv)
-        out = jnp.where((ttype == TEX_IMAGE)[..., None], img, out)
+        is_img = ttype == TEX_IMAGE
+        img = jax.lax.cond(
+            jnp.any(is_img),
+            lambda: image_value(tt, tt.image[idx], uv),
+            lambda: jnp.zeros(uv.shape[:-1] + (3,), jnp.float32),
+        )
+        out = jnp.where(is_img[..., None], img, out)
 
     if tt.max_noise_depth > 0:
-        turb = perlin_turb(
-            tt,
-            tt.scale[idx][..., None] * p + tt.noise_offset[idx],
-            tt.noise_depth[idx],
-            tt.max_noise_depth,
+        is_noise = ttype == TEX_NOISE
+        turb = jax.lax.cond(
+            jnp.any(is_noise),
+            lambda: perlin_turb(
+                tt,
+                tt.scale[idx][..., None] * p + tt.noise_offset[idx],
+                tt.noise_depth[idx],
+                tt.max_noise_depth,
+            ),
+            lambda: jnp.zeros(p.shape[:-1], jnp.float32),
         )
         # white * turb (reference noise.rs:160-171)
-        out = jnp.where((ttype == TEX_NOISE)[..., None], turb[..., None], out)
+        out = jnp.where(is_noise[..., None], turb[..., None], out)
 
     return out
