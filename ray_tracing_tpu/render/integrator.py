@@ -31,6 +31,35 @@ from ray_tracing_tpu.ops.intersect import intersect_scene
 from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 
 
+def _bounce(scene: SceneData, kb, carry):
+    """One wavefront bounce: intersect, emit/background, scatter.
+    carry = (rad, thr, ro, rd, alive, segments); uniforms from ``kb``."""
+    rad, thr, ro, rd, alive, segments = carry
+    n = ro.shape[0]
+    segments = segments + jnp.sum(alive.astype(jnp.float32))
+    if scene.n_medium > 0:
+        med_u = jax.random.uniform(
+            jax.random.fold_in(kb, 1), (n, scene.n_medium), dtype=jnp.float32
+        )
+    else:
+        med_u = None
+    hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
+    found = alive & hit.mask
+    miss = alive & ~hit.mask
+
+    rad = rad + jnp.where(miss[:, None], thr * scene.background[None, :], 0.0)
+    u = jax.random.uniform(
+        jax.random.fold_in(kb, 2), (n, N_SCATTER_U), dtype=jnp.float32
+    )
+    em, sc = shade(scene, hit, rd, u)
+    rad = rad + jnp.where(found[:, None], thr * em, 0.0)
+    new_alive = found & sc.scattered
+    thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
+    ro = jnp.where(found[:, None], hit.p, ro)
+    rd = jnp.where(new_alive[:, None], sc.direction, rd)
+    return rad, thr, ro, rd, new_alive, segments
+
+
 def trace(
     scene: SceneData,
     ro: jnp.ndarray,
@@ -58,32 +87,7 @@ def trace(
     segments = jnp.zeros((), dtype=jnp.float32)
 
     def body(bounce, carry):
-        rad, thr, ro, rd, alive, segments = carry
-        segments = segments + jnp.sum(alive.astype(jnp.float32))
-        kb = jax.random.fold_in(key, bounce)
-        if scene.n_medium > 0:
-            med_u = jax.random.uniform(
-                jax.random.fold_in(kb, 1), (n, scene.n_medium), dtype=jnp.float32
-            )
-        else:
-            med_u = None
-        hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
-        found = alive & hit.mask
-        miss = alive & ~hit.mask
-
-        rad = rad + jnp.where(
-            miss[:, None], thr * scene.background[None, :], 0.0
-        )
-        u = jax.random.uniform(
-            jax.random.fold_in(kb, 2), (n, N_SCATTER_U), dtype=jnp.float32
-        )
-        em, sc = shade(scene, hit, rd, u)
-        rad = rad + jnp.where(found[:, None], thr * em, 0.0)
-        new_alive = found & sc.scattered
-        thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
-        ro = jnp.where(found[:, None], hit.p, ro)
-        rd = jnp.where(new_alive[:, None], sc.direction, rd)
-        return rad, thr, ro, rd, new_alive, segments
+        return _bounce(scene, jax.random.fold_in(key, bounce), carry)
 
     if remat:
         body = jax.checkpoint(body, static_argnums=())
@@ -115,3 +119,107 @@ def trace(
     if with_stats:
         return rad, segments
     return rad
+
+
+def trace_compacted(
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    *,
+    stage_bounces: int = 4,
+    chunk_div: int = 8,
+    with_stats: bool = False,
+) -> jnp.ndarray:
+    """Forward-only trace with staged wavefront compaction.
+
+    A fixed-depth wavefront wastes most of its lanes: zy_scene at depth
+    20 averages 3.85 live bounces, so ~80% of the dense loop shades dead
+    rays.  Every ``stage_bounces`` bounces the wavefront is sorted
+    alive-first (the permutation is tracked, radiance is unsorted once
+    at the end) and the next stage runs over just ``ceil(alive/C)``
+    chunks of C = N/chunk_div rays — a fixed-shape stream compaction,
+    the TPU equivalent of the reference's scattered-ray re-packeting
+    (renderer.rs:264-298).
+
+    Not differentiable (dynamic chunk counts); an unbiased estimator but
+    not bit-identical to :func:`trace` (compaction re-pairs rays with
+    per-lane uniform draws).  N must be a multiple of chunk_div.
+    """
+    n = ro.shape[0]
+    chunk = n // chunk_div
+    assert chunk * chunk_div == n, "ray count must be a multiple of chunk_div"
+
+    rad = jnp.zeros((n, 3), dtype=jnp.float32)
+    thr = jnp.ones((n, 3), dtype=jnp.float32)
+    alive = jnp.ones((n,), dtype=bool)
+    segments = jnp.zeros((), dtype=jnp.float32)
+    orig = jnp.arange(n, dtype=jnp.int32)  # sorted position -> pixel
+
+    carry = (rad, thr, ro, rd, alive, segments)
+    n_stages = -(-max_depth // stage_bounces)
+
+    for stage in range(n_stages):
+        k_stage = jax.random.fold_in(key, 1000 + stage)
+        bounces = min(stage_bounces, max_depth - stage * stage_bounces)
+
+        if stage == 0:
+            # full-width warm stage (everything is alive anyway)
+            def body0(b, c):
+                return _bounce(scene, jax.random.fold_in(k_stage, b), c)
+
+            carry = jax.lax.fori_loop(0, bounces, body0, carry)
+            continue
+
+        rad, thr, ro, rd, alive, segments = carry
+        # compact: alive rays first (stable keeps pixel coherence)
+        order = jnp.argsort(~alive, stable=True)
+        orig = orig[order]
+        rad = rad[order]
+        thr = thr[order]
+        ro = ro[order]
+        rd = rd[order]
+        alive = alive[order]
+        alive_count = jnp.sum(alive.astype(jnp.int32))
+
+        def chunk_body(state):
+            ci, rad, thr, ro, rd, alive, segments = state
+            start = ci * chunk
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
+            c_carry = (
+                sl(rad), sl(thr), sl(ro), sl(rd), sl(alive),
+                jnp.zeros((), jnp.float32),
+            )
+            k_chunk = jax.random.fold_in(k_stage, ci)
+
+            def bodyc(b, c):
+                return _bounce(scene, jax.random.fold_in(k_chunk, b), c)
+
+            c_rad, c_thr, c_ro, c_rd, c_alive, c_segs = jax.lax.fori_loop(
+                0, bounces, bodyc, c_carry
+            )
+            upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
+            return (
+                ci + 1,
+                upd(rad, c_rad), upd(thr, c_thr), upd(ro, c_ro),
+                upd(rd, c_rd), upd(alive, c_alive), segments + c_segs,
+            )
+
+        def chunk_cond(state):
+            ci = state[0]
+            return ci * chunk < alive_count
+
+        _, rad, thr, ro, rd, alive, segments = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), rad, thr, ro, rd, alive, segments),
+        )
+        carry = (rad, thr, ro, rd, alive, segments)
+
+    rad, thr, ro, rd, alive, segments = carry
+    rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
+    # unsort: sorted position i belongs to pixel orig[i]
+    rad_out = jnp.zeros_like(rad).at[orig].set(rad)
+    if with_stats:
+        return rad_out, segments
+    return rad_out

@@ -24,7 +24,7 @@ import numpy as np
 
 from ray_tracing_tpu.models.camera import Camera, CameraParam, sample_st
 from ray_tracing_tpu.models.scene import SceneData
-from ray_tracing_tpu.render.integrator import trace
+from ray_tracing_tpu.render.integrator import trace, trace_compacted
 
 
 @dataclasses.dataclass
@@ -69,6 +69,7 @@ def render_pass(
     remat: bool = False,
     with_stats: bool = False,
     early_exit: bool = False,
+    compaction: bool = False,
 ) -> jnp.ndarray:
     """One full-image 1-spp pass -> (H, W, 3) linear radiance.
 
@@ -97,8 +98,13 @@ def render_pass(
 
     def run_tile(args):
         ro_t, rd_t, tid = args
+        tkey = jax.random.fold_in(k_trace, tid)
+        if compaction:
+            return trace_compacted(
+                scene, ro_t, rd_t, tkey, max_depth, with_stats=with_stats
+            )
         return trace(
-            scene, ro_t, rd_t, jax.random.fold_in(k_trace, tid), max_depth,
+            scene, ro_t, rd_t, tkey, max_depth,
             remat=remat, with_stats=with_stats, early_exit=early_exit,
         )
 
@@ -126,7 +132,12 @@ class Renderer:
         scene: SceneData,
         tile_size: Optional[int] = None,
         early_exit: Optional[bool] = None,
+        compaction: bool = True,
     ):
+        # compaction: staged alive-first stream compaction (2.7x on
+        # deep closed scenes); deterministic per key but a different
+        # (equally valid) estimator pairing than the dense loop --
+        # pass compaction=False to bit-match trace()/gradient renders.
         self.param = param
         self.scene = scene
         aspect = param.width / param.height
@@ -152,7 +163,8 @@ class Renderer:
                 max_depth=self.max_depth,
                 antialias=self.antialias,
                 tile_size=self.tile_size,
-                early_exit=early_exit,
+                early_exit=early_exit and not compaction,
+                compaction=compaction,
             )
         )
 
@@ -185,6 +197,34 @@ class Renderer:
                 )
             )
         return self._render_stats(self.scene, self.camera, self._as_key(key))
+
+    def accumulate(self, key, acc=None):
+        """Fold one pass into a device-resident sum image and return it
+        (asynchronously dispatched — no host sync).
+
+        Through a high-latency link (the axon tunnel pays ~30-100 ms per
+        device->host sync) per-pass ``np.asarray`` dominates progressive
+        rendering; accumulate K passes on device and materialize only
+        when displaying/saving::
+
+            acc = None
+            for i in range(64):
+                acc = renderer.accumulate(i, acc)
+            image = np.asarray(acc) / 64
+        """
+        if not hasattr(self, "_accum_fn"):
+            render = self._render
+
+            @jax.jit
+            def accum(scene, camera, k, a):
+                return a + render(scene, camera, k)
+
+            self._accum_fn = accum
+        if acc is None:
+            acc = jnp.zeros(
+                (self.param.height, self.param.width, 3), jnp.float32
+            )
+        return self._accum_fn(self.scene, self.camera, self._as_key(key), acc)
 
     async def render_async(self, key):
         """Awaitable render matching the reference's async Python API

@@ -160,3 +160,65 @@ def test_image_orientation_top_row_first():
     top = img[:4].mean()
     bottom = img[-4:].mean()
     assert top > bottom  # bright ceiling should be in the top rows
+
+
+def test_compacted_trace_is_unbiased():
+    """trace_compacted must agree with trace in expectation (it re-pairs
+    rays with uniforms, so only statistically) and exactly on scenes
+    where every path's contribution is deterministic."""
+    from ray_tracing_tpu.render.integrator import trace_compacted
+
+    # furnace: every path contributes exactly albedo regardless of RNG
+    albedo = (0.7, 0.5, 0.3)
+    b = SceneBuilder(background=(1.0, 1.0, 1.0))
+    mat = b.add_lambertian(b.add_texture_solid(albedo))
+    b.add_rect("zx", -1e4, 1e4, -1e4, 1e4, 0.0, mat, positive=True)
+    scene = b.build()
+    n = 1024
+    ro = jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)), jnp.float32)
+    rd = jnp.asarray(np.tile([[0.0, -1.0, 0.0]], (n, 1)), jnp.float32)
+    out = np.asarray(
+        trace_compacted(scene, ro, rd, jax.random.key(0), 8, stage_bounces=2)
+    )
+    assert np.allclose(out.mean(axis=0), albedo, atol=1e-3)
+
+    # Cornell-ish: means agree within MC tolerance over several keys
+    b = SceneBuilder(background=(0, 0, 0))
+    white = b.add_lambertian(b.add_texture_solid((0.73, 0.73, 0.73)))
+    light = b.add_diffuse_light(b.add_texture_solid((4.0, 4.0, 4.0)))
+    b.add_rect("zx", -2, 2, -2, 2, 0.0, white, positive=True)
+    b.add_rect("zx", -1, 1, -1, 1, 3.0, light, positive=False, important=True)
+    b.add_rect("xy", -2, 2, 0, 2, -2.0, white, positive=True)
+    scene = b.build()
+    rng = np.random.RandomState(0)
+    n = 8192
+    ro = jnp.asarray(np.tile([[0.0, 1.0, 1.5]], (n, 1)), jnp.float32)
+    d = np.stack([rng.uniform(-.3, .3, n), -np.ones(n), rng.uniform(-.9, -.3, n)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rd = jnp.asarray(d, jnp.float32)
+
+    m_std = np.mean([
+        np.asarray(trace(scene, ro, rd, jax.random.key(k), 8)).mean()
+        for k in range(8)
+    ])
+    m_cmp = np.mean([
+        np.asarray(
+            trace_compacted(scene, ro, rd, jax.random.key(k), 8,
+                            stage_bounces=2, chunk_div=8)
+        ).mean()
+        for k in range(8)
+    ])
+    assert np.isclose(m_std, m_cmp, rtol=0.05), (m_std, m_cmp)
+
+
+def test_device_accumulate_matches_sum_of_renders():
+    b = SceneBuilder(background=(0.3, 0.4, 0.5))
+    b.add_sphere((0, 0, -3), 1.0, b.add_lambertian(b.add_texture_solid((0.6, 0.3, 0.2))))
+    scene = b.build()
+    cam = CameraParam((0, 0, 1), (0, 0, -1), 60)
+    r = Renderer(RendererParam(24, 16, max_depth=3), cam, scene)
+    acc = None
+    for i in range(3):
+        acc = r.accumulate(i, acc)
+    expect = sum(np.asarray(r.render(i)) for i in range(3))
+    np.testing.assert_allclose(np.asarray(acc), expect, rtol=1e-6)
