@@ -5,7 +5,7 @@ environment, and each material's ``apply_preview`` stand-in."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 from uuid import UUID
 
 import v4ray_tpu as v4ray

@@ -29,9 +29,7 @@ from ray_tracing_tpu.editor.history import UndoTree
 from ray_tracing_tpu.editor.model import (
     CAMERA_TYPES,
     Document,
-    GroupData,
     MATERIAL_TYPES,
-    ObjectData,
     RendererData,
     SHAPE_TYPES,
     TEXTURE_TYPES,
@@ -278,6 +276,10 @@ label { display:inline-block; width: 130px; font-size: 12px; }
   <h3>History</h3><div id="history"></div>
   <div><button id="undo" onclick="api('/api/undo',{})">undo</button>
   <button id="redo" onclick="api('/api/redo',{})">redo</button></div>
+  <h3>Project</h3>
+  <div><button onclick="saveProject()">save</button>
+  <input type="file" id="loadfile" style="width:180px"
+         onchange="loadProject(this.files[0])"/></div>
 </div>
 <div id="center">
   <img id="preview" width="384"/>
@@ -481,6 +483,18 @@ async function refreshPreview(passes) {
   const j = await r.json();
   document.getElementById('preview').src = 'data:image/png;base64,' + j.png;
   document.getElementById('iters').textContent = j.iterations + ' passes';
+}
+
+async function saveProject() {
+  const project = await (await fetch('/api/project')).json();
+  const blob = new Blob([JSON.stringify(project, null, 1)], {type: 'application/json'});
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(blob); a.download = 'project.json'; a.click();
+}
+async function loadProject(file) {
+  if (!file) return;
+  const text = await file.text();
+  await edit({action: 'load_project', project: JSON.parse(text)});
 }
 
 async function boot() {

@@ -50,7 +50,6 @@ from ray_tracing_tpu.models.scene import (
     SceneData,
     SphereTable,
     TextureTable,
-    TransformTable,
     TriangleTable,
     LightTable,
     identity_transform_table,

@@ -139,6 +139,12 @@ def pack_primitive_tables(scene: SceneData):
         ],
         axis=1,
     )
+    # Mosaic rejects zero-row SMEM operands (f32[0,k]); pad to one row —
+    # the unrolled loops never read past the real count.
+    if sph.shape[0] == 0:
+        sph = jnp.zeros((1, 4), jnp.float32)
+    if rect.shape[0] == 0:
+        rect = jnp.zeros((1, 14), jnp.float32)
     return sph.astype(jnp.float32), rect.astype(jnp.float32)
 
 

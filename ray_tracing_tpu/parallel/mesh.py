@@ -16,7 +16,6 @@ for the final reduction only).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -142,10 +142,19 @@ class Renderer:
         self.scene = scene
         aspect = param.width / param.height
         self.camera = Camera.build(camera, aspect)
-        n_prims = scene.n_spheres + scene.n_triangles + scene.n_rects
+        # the (rays x prims) grid budget only covers brute-forced
+        # primitives; BVH'd triangles traverse with O(1) live state
+        n_prims = scene.n_spheres + scene.n_rects
+        if scene.bvh is None:
+            n_prims += scene.n_triangles
         self.tile_size = tile_size or _pick_tile_size(
             param.width * param.height, n_prims
         )
+        if scene.bvh is not None:
+            # BVH traversal cost per tile is the MAX path length over
+            # its rays; small coherent tiles beat wide ones (measured:
+            # 4096 ≈ 2x faster than 32768 on scene.json)
+            self.tile_size = min(self.tile_size, 4096)
         self.max_depth = param.max_depth if param.max_depth is not None else 20
         self.antialias = param.antialias if param.antialias is not None else True
         if early_exit is None:

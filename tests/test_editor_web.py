@@ -98,3 +98,24 @@ def test_registries_meta(server):
     ]
     assert "lambertian" in regs["materials"]
     assert "perspective" in regs["cameras"]
+
+
+def test_editor_project_roundtrip_via_api(server):
+    """Export the live document and load it back through the API."""
+    project = _get(server + "/api/project")
+    # wipe with a fresh load of the same project
+    state = _post(server + "/api/edit", {"action": "load_project", "project": project})
+    assert "error" not in state
+    assert state["document"]["objects"].keys() == project["objects"].keys()
+    # and load a minimal foreign project
+    minimal = {
+        "render": {"width": 8, "height": 8, "max_depth": 2,
+                   "background": "#102030"},
+        "camera": {"type": "perspective", "look_from": [0, 0, 1],
+                   "look_at": [0, 0, 0], "vfov": 60, "up": [0, 1, 0],
+                   "aperture": 0, "focus_dist": 2, "time0": 0, "time1": 0},
+        "root_objects": [], "objects": {}, "materials": {}, "textures": {},
+    }
+    state = _post(server + "/api/edit", {"action": "load_project", "project": minimal})
+    assert state["document"]["render"]["width"] == 8
+    assert state["can_undo"]  # loading is an undoable edit

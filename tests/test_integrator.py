@@ -222,3 +222,25 @@ def test_device_accumulate_matches_sum_of_renders():
         acc = r.accumulate(i, acc)
     expect = sum(np.asarray(r.render(i)) for i in range(3))
     np.testing.assert_allclose(np.asarray(acc), expect, rtol=1e-6)
+
+
+def test_golden_regression_zy():
+    """Pinned dense-estimator render (CPU, fixed key): catches unintended
+    estimator changes.  Regenerate the golden deliberately when the
+    estimator/RNG-layout changes on purpose:
+      python -c "...Renderer(...,compaction=False).render(42)" (see file)
+    """
+    import os
+
+    from ray_tracing_tpu import load_scene_json
+
+    bd = load_scene_json("data/zy_scene.json")
+    r = Renderer(
+        RendererParam(32, 32, max_depth=4), bd.camera, bd.scene,
+        tile_size=1024, compaction=False, early_exit=False,
+    )
+    img = np.asarray(r.render(42))
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "zy_32_d4_key42.npy")
+    )
+    np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)

@@ -8,7 +8,7 @@ Each shape knows how to register itself into a SceneBuilder
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
