@@ -65,17 +65,41 @@ def _emitted_given_tex(scene: SceneData, hit: Hit, tex: jnp.ndarray) -> jnp.ndar
     return jnp.where(is_light[..., None], tex, 0.0)
 
 
-def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray):
+class ShadeAux(NamedTuple):
+    """Per-ray shading facts needed by path-replay backprop
+    (render/prb.py): which color-table entry fed this bounce."""
+
+    leaf_tex: jnp.ndarray  # (N,) i32 resolved texture leaf id
+    leaf_is_solid: jnp.ndarray  # (N,) bool — leaf reads textures.color
+    tex_value: jnp.ndarray  # (N, 3) the evaluated texture color
+
+
+def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
+          with_aux: bool = False):
     """Fused emission + scatter: evaluates the hit's material texture
     once (it feeds both the diffuse-light emission and the lambertian /
-    isotropic attenuation).  Returns (emitted (N,3), Scatter)."""
+    isotropic attenuation).  Returns (emitted (N,3), Scatter[, ShadeAux])."""
+    from ray_tracing_tpu.models.scene import TEX_SOLID
+    from ray_tracing_tpu.ops.textures import resolve_leaf
+
     tex = texture_value(
         scene.textures, scene.materials.tex[hit.material], hit.uv, hit.p
     )
-    return (
+    out = (
         _emitted_given_tex(scene, hit, tex),
         _scatter_given_tex(scene, hit, rd_in, u, tex),
     )
+    if not with_aux:
+        return out
+    leaf = resolve_leaf(
+        scene.textures, scene.materials.tex[hit.material], hit.p
+    )
+    aux = ShadeAux(
+        leaf_tex=leaf,
+        leaf_is_solid=scene.textures.ttype[leaf] == TEX_SOLID,
+        tex_value=tex,
+    )
+    return out + (aux,)
 
 
 def scatter(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray) -> Scatter:

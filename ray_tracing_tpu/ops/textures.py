@@ -104,22 +104,25 @@ def image_value(tt: TextureTable, img_idx, uv):
     return tt.images[img_idx, j, i]  # (..., 3), already /255
 
 
-def texture_value(tt: TextureTable, idx, uv, p):
-    """Evaluate texture ``idx`` at (uv, p) for a batch of rays.
-
-    idx: (...,) i32, uv: (..., 2), p: (..., 3) -> (..., 3) color.
-    Checker nodes are resolved by a static-depth pointer walk
+def resolve_leaf(tt: TextureTable, idx, p):
+    """Walk checker indirection to the leaf texture id per ray
     (reference checker.rs:31-38 selects a sub-texture by
-    sin(d x) sin(d y) sin(d z) sign), then leaves evaluate in one shot.
-    """
-    # resolve checker indirection
+    sin(d x) sin(d y) sin(d z) sign)."""
     for _ in range(max(tt.max_checker_depth, 1)):
         is_checker = tt.ttype[idx] == TEX_CHECKER
         d = tt.density[idx][..., None] * p  # (..., 3)
         sines = jnp.sin(d[..., 0]) * jnp.sin(d[..., 1]) * jnp.sin(d[..., 2])
         child = jnp.where(sines > 0.0, tt.child_even[idx], tt.child_odd[idx])
         idx = jnp.where(is_checker, child, idx)
+    return idx
 
+
+def texture_value(tt: TextureTable, idx, uv, p):
+    """Evaluate texture ``idx`` at (uv, p) for a batch of rays.
+
+    idx: (...,) i32, uv: (..., 2), p: (..., 3) -> (..., 3) color.
+    """
+    idx = resolve_leaf(tt, idx, p)
     ttype = tt.ttype[idx]
     out = tt.color[idx]  # TEX_SOLID default (reference solid_color.rs:21-28)
 
