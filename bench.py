@@ -21,6 +21,8 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -29,13 +31,52 @@ REFERENCE_RAYS_PER_S = 5e6  # documented estimate, see module docstring
 WIDTH = HEIGHT = 1024
 PASSES = 3
 
+# The axon remote-compile service intermittently hangs on large programs
+# (observed repeatedly this round).  The orchestrator below runs the
+# fast PRB-gradient benchmark in a subprocess with a timeout and falls
+# back to the smaller (reliably-compiling) AD program, so the recorded
+# bench never silently hangs.
+PRB_TIMEOUT_S = 540
+AD_TIMEOUT_S = 1200
+
+
+def orchestrate() -> int:
+    for mode, timeout in (("prb", PRB_TIMEOUT_S), ("ad", AD_TIMEOUT_S)):
+        env = dict(os.environ)
+        env["_BENCH_INNER"] = "1"
+        if mode == "ad":
+            env["RAY_TPU_BENCH_AD"] = "1"
+        else:
+            env.pop("RAY_TPU_BENCH_AD", None)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {mode} bench timed out after {timeout}s; falling back",
+                  file=sys.stderr)
+            continue
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            sys.stderr.write(proc.stderr[-2000:])
+            return 0
+        print(f"# {mode} bench failed (rc={proc.returncode}):\n"
+              f"{proc.stderr[-1500:]}", file=sys.stderr)
+    return 1
+
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from ray_tracing_tpu import load_scene_json
-    from ray_tracing_tpu.models.camera import Camera
+    from ray_tracing_tpu.models.camera import Camera, sample_st
     from ray_tracing_tpu.render.renderer import render_pass, _pick_tile_size
 
     bundle = load_scene_json("data/zy_scene.json")
@@ -44,15 +85,45 @@ def main():
     max_depth = bundle.renderer.max_depth or 20
     n_prims = scene.n_spheres + scene.n_triangles + scene.n_rects
     tile = _pick_tile_size(WIDTH * HEIGHT, n_prims)
+    use_ad = os.environ.get("RAY_TPU_BENCH_AD") == "1"
 
-    def fwd(colors, key):
-        s = scene.replace(textures=scene.textures.replace(color=colors))
-        img, segs = render_pass(
-            s, camera, key,
-            width=WIDTH, height=HEIGHT, max_depth=max_depth,
-            antialias=True, tile_size=tile, remat=True, with_stats=True,
-        )
-        return jnp.mean(img), segs
+    if use_ad:
+        # legacy AD path: rematerialized dense scan
+        def fwd(colors, key):
+            s = scene.replace(textures=scene.textures.replace(color=colors))
+            img, segs = render_pass(
+                s, camera, key,
+                width=WIDTH, height=HEIGHT, max_depth=max_depth,
+                antialias=True, tile_size=tile, remat=True, with_stats=True,
+            )
+            return jnp.mean(img), segs
+    else:
+        # path-replay backprop over the compacted forward (render/prb.py)
+        from ray_tracing_tpu.render.prb import prb_radiance
+
+        n = WIDTH * HEIGHT
+        n_tiles = n // tile
+
+        def fwd(colors, key):
+            k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
+            st = sample_st(k_st, WIDTH, HEIGHT, True)
+            u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
+            u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
+            ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+            ro = ro.reshape(n_tiles, tile, 3)
+            rd = rd.reshape(n_tiles, tile, 3)
+            tile_ids = jnp.arange(n_tiles, dtype=jnp.uint32)
+
+            def tile_sum(args):
+                ro_t, rd_t, tid = args
+                rad = prb_radiance(
+                    colors, scene, ro_t, rd_t,
+                    jax.random.fold_in(k_trace, tid), max_depth,
+                )
+                return jnp.sum(rad)
+
+            total = jnp.sum(jax.lax.map(tile_sum, (ro, rd, tile_ids)))
+            return total / (n * 3), jnp.zeros(())
 
     @jax.jit
     def fwd_bwd(colors, key):
@@ -60,16 +131,29 @@ def main():
         return loss, segs, g
 
     colors = scene.textures.color
-    # compile + warmup
+
+    # untimed: traced-segment counts for the benchmark keys (the honest
+    # rays/s numerator, identical keys to the timed passes)
+    count_fn = jax.jit(
+        lambda key: render_pass(
+            scene, camera, key, width=WIDTH, height=HEIGHT,
+            max_depth=max_depth, antialias=True, tile_size=tile,
+            compaction=not use_ad, with_stats=True,
+        )[1]
+    )
+    seg_counts = [float(count_fn(jax.random.key(i))) for i in range(1, PASSES + 1)]
+
+    # compile + warmup (float() forces a real host sync; block_until_ready
+    # does not block through the axon tunnel)
     loss, segs, g = fwd_bwd(colors, jax.random.key(0))
-    jax.block_until_ready((loss, segs, g))
+    float(loss)
 
     t0 = time.perf_counter()
     total_segments = 0.0
     for i in range(1, PASSES + 1):
         loss, segs, g = fwd_bwd(colors, jax.random.key(i))
-        jax.block_until_ready((loss, segs, g))
-        total_segments += float(segs)
+        float(loss)
+        total_segments += seg_counts[i - 1] if not use_ad else float(segs)
     dt = time.perf_counter() - t0
 
     rays_per_s = total_segments / dt
@@ -93,4 +177,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(orchestrate())

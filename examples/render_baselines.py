@@ -106,6 +106,10 @@ def main():
         t0 = time.perf_counter()
         for i in range(1, spp):
             acc = r.accumulate(jax.random.fold_in(jax.random.key(0), i), acc)
+            if i % 16 == 0:
+                np.asarray(acc)  # sync so the progress line is honest
+                print(f"  {name}: {i}/{spp} passes "
+                      f"({(time.perf_counter()-t0)/i:.2f}s/pass)", flush=True)
         img = np.asarray(acc) / spp
         dt = time.perf_counter() - t0
         per_pass = dt / max(spp - 1, 1)

@@ -235,28 +235,40 @@ def prb_radiance(
     one replayed forward.  Scene/rays/key are treated as constants.
     """
 
-    def run_fwd(c):
+    import numpy as np
+
+    def run_fwd(c, ro, rd, keydata):
+        k = jax.random.wrap_key_data(keydata)
         s = scene.replace(textures=scene.textures.replace(color=c))
         if compaction:
-            return trace_compacted(s, ro, rd, key, max_depth)
-        return trace(s, ro, rd, key, max_depth)
+            return trace_compacted(s, ro, rd, k, max_depth)
+        return trace(s, ro, rd, k, max_depth)
 
+    # ro/rd/key pass through the custom_vjp as explicit inputs so they
+    # may be tracers of an enclosing transformation (e.g. a lax.map over
+    # tiles); only ``colors`` receives a real cotangent.
     @jax.custom_vjp
-    def inner(c):
-        return run_fwd(c)
+    def inner(c, ro, rd, keydata):
+        return run_fwd(c, ro, rd, keydata)
 
-    def fwd(c):
-        rad = run_fwd(c)
-        return rad, (c, rad)
+    def fwd(c, ro, rd, keydata):
+        rad = run_fwd(c, ro, rd, keydata)
+        return rad, (c, ro, rd, keydata, rad)
 
     def bwd(res, g):
-        c, rad = res
+        c, ro, rd, keydata, rad = res
+        k = jax.random.wrap_key_data(keydata)
         s = scene.replace(textures=scene.textures.replace(color=c))
         if compaction:
-            gacc, _ = prb_grad_compacted(s, ro, rd, key, max_depth, rad, g)
+            gacc, _ = prb_grad_compacted(s, ro, rd, k, max_depth, rad, g)
         else:
-            gacc, _ = prb_grad_dense(s, ro, rd, key, max_depth, rad, g)
-        return (gacc,)
+            gacc, _ = prb_grad_dense(s, ro, rd, k, max_depth, rad, g)
+        return (
+            gacc,
+            jnp.zeros_like(ro),
+            jnp.zeros_like(rd),
+            np.zeros((2,), jax.dtypes.float0),
+        )
 
     inner.defvjp(fwd, bwd)
-    return inner(colors)
+    return inner(colors, ro, rd, jax.random.key_data(key))
