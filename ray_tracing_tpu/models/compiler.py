@@ -465,6 +465,10 @@ class SceneBuilder:
                 np.asarray([t["material"] for t in self._triangles], i32)
             ),
         )
+        if nt:
+            from ray_tracing_tpu.models.scene import pack_triangle_sweep
+
+            triangles = pack_triangle_sweep(triangles)
 
         nr = len(self._rects)
         rects = RectTable(

@@ -80,9 +80,33 @@ class TriangleTable:
     uv1: jnp.ndarray
     uv2: jnp.ndarray
     material: jnp.ndarray  # (T,) i32
+    # triple-product sweep constants (ops/geometry.py:triangle_sweep_t);
+    # None when the table was built without pack_triangle_sweep
+    sw_origin: jnp.ndarray = None  # (3,) f32 translated origin
+    sw_n: jnp.ndarray = None  # (T, 3) e12 x e13
+    sw_g1: jnp.ndarray = None  # (T, 3) e13 x (v0 - origin)
+    sw_g2: jnp.ndarray = None  # (T, 3) e12 x (v0 - origin)
+    sw_d0: jnp.ndarray = None  # (T,) (v0 - origin) . n
 
     def __len__(self):
         return self.v0.shape[0]
+
+    @property
+    def has_sweep(self) -> bool:
+        return self.sw_n is not None
+
+
+def pack_triangle_sweep(tris: TriangleTable) -> TriangleTable:
+    """Attach the dense-sweep triple-product constants (host, numpy)."""
+    from ray_tracing_tpu.ops.geometry import triangle_sweep_tables
+
+    origin, n, g1, g2, d0 = triangle_sweep_tables(
+        np.asarray(tris.v0), np.asarray(tris.e12), np.asarray(tris.e13)
+    )
+    return tris.replace(
+        sw_origin=_f32(origin), sw_n=_f32(n), sw_g1=_f32(g1),
+        sw_g2=_f32(g2), sw_d0=_f32(d0),
+    )
 
 
 @struct.dataclass

@@ -123,6 +123,80 @@ def triangle_t(ro, rd, v0, e12, e13, t_min, t_max):
     return t, mask, u, v, det
 
 
+def _bdot3(a, b):
+    """(N, 3) x (T, 3) -> (N, T) dot-product grid as three broadcasted
+    multiply-adds — never materializes an (N, T, 3) intermediate and
+    never touches the MXU (see matvec3 for why bf16 matmuls are unsafe
+    for geometry)."""
+    return (
+        a[:, 0:1] * b[None, :, 0]
+        + a[:, 1:2] * b[None, :, 1]
+        + a[:, 2:3] * b[None, :, 2]
+    )
+
+
+def triangle_sweep_tables(v0, e12, e13, dtype=None):
+    """Per-triangle constants for the triple-product sweep (host, numpy).
+
+    Rewrites Möller–Trumbore's per-pair dot/cross products as scalar
+    triple products so the (ray x triangle) sweep needs only (N, T)
+    grids:  with m = ro x rd,
+
+        det   = -(rd . n)            n  = e12 x e13
+        u*det =  m . e13 - rd . g1   g1 = e13 x v0
+        v*det =  rd . g2 - m . e12   g2 = e12 x v0
+        t*det =  ro . n  - d0        d0 = v0 . n
+
+    (each line is one determinant identity, e.g. tvec.(rd x e13) =
+    det[ro,rd,e13] - det[v0,rd,e13]).  All constants are computed in
+    f64 against a translated origin (the centroid) because the two
+    determinant terms cancel catastrophically at scene scale otherwise.
+    Returns (origin (3,), n, g1, g2 (T,3), d0 (T,)) as float32.
+    """
+    import numpy as np
+
+    v0 = np.asarray(v0, np.float64)
+    e12 = np.asarray(e12, np.float64)
+    e13 = np.asarray(e13, np.float64)
+    origin = v0.mean(axis=0) if v0.shape[0] else np.zeros(3)
+    v0s = v0 - origin
+    n = np.cross(e12, e13)
+    g1 = np.cross(e13, v0s)
+    g2 = np.cross(e12, v0s)
+    d0 = np.sum(v0s * n, axis=-1)
+    f = np.float32
+    return origin.astype(f), n.astype(f), g1.astype(f), g2.astype(f), d0.astype(f)
+
+
+def triangle_sweep_t(ro, rd, e12, e13, origin, n, g1, g2, d0, t_min, t_max):
+    """Dense (N, T) nearest-candidate sweep over a whole triangle table.
+
+    The TPU-native replacement for per-ray BVH traversal on small-to-mid
+    meshes: instead of a divergent pointer walk (reference
+    src/bvh/bvh.rs:182-239), every ray tests every triangle with the
+    precomputed triple-product constants of :func:`triangle_sweep_tables`
+    — pure broadcasted VPU FMAs, no gathers, no while_loop.  Masks match
+    reference triangle.rs:56-95's chain exactly (same inequalities on
+    u, v, t, det); u/v/t values differ only by f32 rounding from the
+    sequential form, so Phase B re-derives the record with triangle_t.
+
+    ro, rd: (N, 3); e12/e13/n/g1/g2: (T, 3); d0: (T,); origin: (3,).
+    Returns (t, mask) each (N, T).
+    """
+    ro_s = ro - origin
+    m = cross(ro_s, rd)
+    det = -_bdot3(rd, n)
+    mask = jnp.abs(det) > 0.0
+    inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+    u = inv * (_bdot3(m, e13) - _bdot3(rd, g1))
+    mask = mask & (u >= 0.0) & (u <= 1.0)
+    v = inv * (_bdot3(rd, g2) - _bdot3(m, e12))
+    mask = mask & (v >= 0.0) & (u + v <= 1.0)
+    t = inv * (_bdot3(ro_s, n) - d0[None, :])
+    mask = mask & (t >= t_min) & (t <= t_max)
+    return t, mask
+
+
 # Rect axis permutations: variant -> (idx0, idx1, idx2) where idx2 is the
 # plane axis (reference aa_rect.rs rect_shape! instantiations):
 #   0 = XYRect (x0 x1 y0 y1, k on z), 1 = YZRect (y0 y1 z0 z1, k on x),

@@ -146,6 +146,45 @@ def _triangle_phase_a(scene: SceneData, ro, rd, t_min, t_max):
     return t, mask
 
 
+# Above this triangle count the dense sweep's O(N*T) work loses to the
+# O(N*log T)-ish BVH walk; below it the sweep's branch-free VPU FMAs win
+# by an order of magnitude (bunny 512^2: 19.6 s/pass BVH -> sweep, see
+# git log).  Override with RAY_TPU_MESH=sweep|bvh|brute.
+SWEEP_MAX_TRIS = 32768
+
+
+def mesh_strategy(scene: SceneData) -> str:
+    """Static choice of triangle intersection strategy: 'sweep' (dense
+    triple-product grid), 'bvh' (skip-link traversal), or 'brute'
+    (legacy broadcast Möller–Trumbore for tables without sweep data)."""
+    if scene.n_triangles == 0:
+        return "none"
+    mode = os.environ.get("RAY_TPU_MESH", "auto")
+    if mode == "bvh" and scene.bvh is not None:
+        return "bvh"
+    if mode == "sweep" and scene.triangles.has_sweep:
+        return "sweep"
+    if mode == "brute":
+        return "brute"
+    if scene.triangles.has_sweep and scene.n_triangles <= SWEEP_MAX_TRIS:
+        return "sweep"
+    if scene.bvh is not None:
+        return "bvh"
+    return "sweep" if scene.triangles.has_sweep else "brute"
+
+
+def _triangle_sweep_phase_a(scene: SceneData, ro, rd, t_min, t_max):
+    """Selection-only (like the BVH walk): gradients flow through the
+    Phase B record rebuild, so the sweep runs on detached inputs."""
+    tr = scene.triangles
+    sg = jax.lax.stop_gradient
+    return geo.triangle_sweep_t(
+        sg(ro), sg(rd), sg(tr.e12), sg(tr.e13), sg(tr.sw_origin),
+        sg(tr.sw_n), sg(tr.sw_g1), sg(tr.sw_g2), sg(tr.sw_d0),
+        t_min, t_max,
+    )
+
+
 def _triangle_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
     tr = scene.triangles
     v0, e12, e13 = tr.v0[idx], tr.e12[idx], tr.e13[idx]
@@ -276,11 +315,17 @@ def intersect_scene(
     elif scene.n_spheres:
         consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max, med_u), KIND_SPHERE)
     if scene.n_triangles:
-        if scene.bvh is not None:
+        strategy = mesh_strategy(scene)
+        if strategy == "bvh":
             from ray_tracing_tpu.ops.bvh import bvh_traverse_triangles
 
             bh = bvh_traverse_triangles(scene.bvh, ro, rd, t_min, t_max)
             consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
+        elif strategy == "sweep":
+            consider(
+                *_triangle_sweep_phase_a(scene, ro, rd, t_min, t_max),
+                KIND_TRIANGLE,
+            )
         else:
             consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
     if scene.n_rects and not use_pallas:

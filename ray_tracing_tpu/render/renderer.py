@@ -47,9 +47,10 @@ class RendererParam:
         )
 
 
-def _pick_tile_size(n_rays: int, n_prims: int) -> int:
-    """Bound the (tile × primitives) candidate grid to ~4M entries."""
-    budget = 4_194_304 // max(n_prims, 1)
+def _pick_tile_size(n_rays: int, n_prims: int, grid_budget: int = 4_194_304) -> int:
+    """Bound the (tile × primitives) candidate grid to ``grid_budget``
+    entries (16 MB of f32 at the default)."""
+    budget = grid_budget // max(n_prims, 1)
     tile = 512
     while tile * 2 <= min(budget, n_rays, 65536):
         tile *= 2
@@ -144,13 +145,23 @@ class Renderer:
         self.camera = Camera.build(camera, aspect)
         # the (rays x prims) grid budget only covers brute-forced
         # primitives; BVH'd triangles traverse with O(1) live state
+        from ray_tracing_tpu.ops.intersect import mesh_strategy
+
+        strategy = mesh_strategy(scene)
         n_prims = scene.n_spheres + scene.n_rects
-        if scene.bvh is None:
+        grid_budget = 4_194_304
+        if strategy in ("sweep", "brute"):
             n_prims += scene.n_triangles
+        if strategy == "sweep":
+            # the sweep's (N, T) grids are lean (~5 f32 scalars per
+            # pair, no (N, T, 3) temps), so a larger grid keeps tiles
+            # wide enough to amortize per-tile overhead (measured on
+            # C4/bunny: tile 8192 = 0.365 s/pass vs 0.557 at 4096)
+            grid_budget = 67_108_864
         self.tile_size = tile_size or _pick_tile_size(
-            param.width * param.height, n_prims
+            param.width * param.height, n_prims, grid_budget
         )
-        if scene.bvh is not None:
+        if strategy == "bvh":
             # BVH traversal cost per tile is the MAX path length over
             # its rays; small coherent tiles beat wide ones (measured:
             # 4096 ≈ 2x faster than 32768 on scene.json)
