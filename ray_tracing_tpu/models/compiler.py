@@ -11,14 +11,17 @@ affine maps), sphere/rect transforms go to an instancing table, and
 Supported JSON surface (kebab-case tags, named defs + by-name refs,
 cycle detection) matches json.rs:
   shapes:   sphere, xy-rect, yz-rect, zx-rect, triangle, cuboid, mesh,
-            constant-medium (sphere boundary)
+            constant-medium (over any inner shape: sphere, rects,
+            cuboid, triangle, mesh — reference constant_medium.rs is
+            generic over Hittable)
   textures: solid-color, checker, image, noise
   materials: lambertian, isotropic, dielectric, diffuse-light, metal
 
 Known divergences (documented, all statistical or unused by the repo's
 scenes): one shared Perlin table set with per-texture offsets instead of
 per-texture tables; baked triangle lights use world-space pdf values;
-constant-medium over non-sphere inner shapes is rejected.
+a transform on a constant-medium's *inner* shape is rejected (put it on
+the constant-medium itself, which the reference also supports).
 """
 
 from __future__ import annotations
@@ -52,7 +55,9 @@ from ray_tracing_tpu.models.scene import (
     TextureTable,
     TriangleTable,
     LightTable,
+    MediumTable,
     identity_transform_table,
+    make_medium_boundary,
 )
 from ray_tracing_tpu.render.renderer import RendererParam
 
@@ -61,6 +66,21 @@ import jax.numpy as jnp
 RECT_AXIS_BY_NAME = {"xy": 0, "yz": 1, "zx": 2}
 
 Transform = Tuple[np.ndarray, np.ndarray]  # (3x3, translate)
+
+
+def _cuboid_faces(p0, p1):
+    """The six rects of an axis-aligned box, exactly as reference
+    cuboid.rs:30-61: (axis, a0, a1, b0, b1, k, positive) rows."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    return [
+        (0, float(p0[0]), float(p1[0]), float(p0[1]), float(p1[1]), float(p0[2]), False),
+        (0, float(p0[0]), float(p1[0]), float(p0[1]), float(p1[1]), float(p1[2]), True),
+        (1, float(p0[1]), float(p1[1]), float(p0[2]), float(p1[2]), float(p0[0]), False),
+        (1, float(p0[1]), float(p1[1]), float(p0[2]), float(p1[2]), float(p1[0]), True),
+        (2, float(p0[2]), float(p1[2]), float(p0[0]), float(p1[0]), float(p0[1]), False),
+        (2, float(p0[2]), float(p1[2]), float(p0[0]), float(p1[0]), float(p1[1]), True),
+    ]
 
 
 class SceneBuilder:
@@ -83,6 +103,7 @@ class SceneBuilder:
         self._rects: List[dict] = []
         self._transforms: List[Transform] = []
         self._lights: List[Tuple[int, int, int]] = []  # (kind, index, tslot)
+        self._media: List[dict] = []
         # materials / textures
         self._materials: List[dict] = []
         self._textures: List[dict] = []
@@ -183,6 +204,15 @@ class SceneBuilder:
         transform: Optional[Transform] = None,
         medium_density: Optional[float] = None,
     ) -> None:
+        if medium_density:
+            # compatibility path: a medium over a sphere boundary is an
+            # entry in the medium table, not a sphere-table row
+            self.add_medium(
+                medium_density, material,
+                spheres=[(center, radius)], transform=transform,
+                important=important,
+            )
+            return
         slot = self._transform_slot(transform)
         self._spheres.append(
             {
@@ -190,18 +220,58 @@ class SceneBuilder:
                 "radius": float(radius),
                 "material": material,
                 "transform": slot,
-                "medium_niv": (
-                    -1.0 / float(medium_density) if medium_density else 0.0
-                ),
             }
         )
         if important:
-            if medium_density:
-                # reference json.rs:692: "importance sampling on
-                # unsupported shape!" (ConstantMedium is not Samplable)
-                print("importance sampling on unsupported shape!")
-            else:
-                self._lights.append((LIGHT_SPHERE, len(self._spheres) - 1, slot))
+            self._lights.append((LIGHT_SPHERE, len(self._spheres) - 1, slot))
+
+    def add_medium(
+        self,
+        density: float,
+        material: int,
+        *,
+        spheres: Sequence = (),
+        rects: Sequence = (),
+        cuboids: Sequence = (),
+        triangles=None,
+        transform: Optional[Transform] = None,
+        important: bool = False,
+    ) -> None:
+        """Constant medium over an arbitrary boundary group (reference
+        constant_medium.rs is generic over any Hittable; multi-primitive
+        inners become a HittableGroup, json.rs:565-576).
+
+        spheres: [(center, radius)]; rects: [(axis, a0, a1, b0, b1, k)];
+        cuboids: [(p0, p1)] each expanded to 6 rects; triangles:
+        (F, 3, 3) vertices.  ``transform`` wraps the whole medium (the
+        reference's TransformHittable around the ConstantMedium).
+        """
+        if important:
+            # reference json.rs:692: "importance sampling on
+            # unsupported shape!" (ConstantMedium is not Samplable)
+            print("importance sampling on unsupported shape!")
+        slot = self._transform_slot(transform)
+        rect_rows = [tuple(float(x) if i else int(x) for i, x in enumerate(r))
+                     for r in rects]
+        for p0, p1 in cuboids:
+            rect_rows += [f[:6] for f in _cuboid_faces(p0, p1)]
+        tris = (
+            np.asarray(triangles, np.float32).reshape(-1, 3, 3)
+            if triangles is not None
+            else np.zeros((0, 3, 3), np.float32)
+        )
+        self._media.append(
+            {
+                "niv": -1.0 / float(density),
+                "material": material,
+                "transform": slot,
+                "spheres": [
+                    (np.asarray(c, np.float32), float(r)) for c, r in spheres
+                ],
+                "rects": rect_rows,
+                "tris": tris,
+            }
+        )
 
     def add_triangle(
         self,
@@ -310,19 +380,8 @@ class SceneBuilder:
     ) -> None:
         """Expand to 6 rects exactly as reference cuboid.rs:30-61.
         All six share one transform slot when transformed."""
-        p0 = np.asarray(p0, np.float32)
-        p1 = np.asarray(p1, np.float32)
         slot = self._transform_slot(transform)
-        faces = [
-            # (axis, a0, a1, b0, b1, k, positive)
-            (0, p0[0], p1[0], p0[1], p1[1], p0[2], False),  # XYRect z=p0
-            (0, p0[0], p1[0], p0[1], p1[1], p1[2], True),  # XYRect z=p1
-            (1, p0[1], p1[1], p0[2], p1[2], p0[0], False),  # YZRect x=p0
-            (1, p0[1], p1[1], p0[2], p1[2], p1[0], True),  # YZRect x=p1
-            (2, p0[2], p1[2], p0[0], p1[0], p0[1], False),  # ZXRect y=p0
-            (2, p0[2], p1[2], p0[0], p1[0], p1[1], True),  # ZXRect y=p1
-        ]
-        for axis, a0, a1, b0, b1, k, positive in faces:
+        for axis, a0, a1, b0, b1, k, positive in _cuboid_faces(p0, p1):
             self._rects.append(
                 {
                     "axis": axis,
@@ -418,14 +477,6 @@ class SceneBuilder:
 
         # spheres
         ns = len(self._spheres)
-        med_cols = []
-        n_med = 0
-        for s in self._spheres:
-            if s["medium_niv"] != 0.0:
-                med_cols.append(n_med)
-                n_med += 1
-            else:
-                med_cols.append(-1)
         spheres = SphereTable(
             center=jnp.asarray(
                 np.stack([s["center"] for s in self._spheres])
@@ -435,11 +486,18 @@ class SceneBuilder:
             radius=jnp.asarray(np.asarray([s["radius"] for s in self._spheres], f32)),
             material=jnp.asarray(np.asarray([s["material"] for s in self._spheres], i32)),
             transform=jnp.asarray(np.asarray([s["transform"] for s in self._spheres], i32)),
-            medium_niv=jnp.asarray(np.asarray([s["medium_niv"] for s in self._spheres], f32)),
-            medium_col=jnp.asarray(np.asarray(med_cols, i32)),
-            n_medium=n_med,
             has_transforms=any(s["transform"] for s in self._spheres),
-            has_medium=n_med > 0,
+        )
+
+        n_med = len(self._media)
+        media = MediumTable(
+            boundaries=tuple(
+                make_medium_boundary(m["spheres"], m["rects"], m["tris"])
+                for m in self._media
+            ),
+            niv=jnp.asarray(np.asarray([m["niv"] for m in self._media], f32)),
+            material=jnp.asarray(np.asarray([m["material"] for m in self._media], i32)),
+            transform=tuple(m["transform"] for m in self._media),
         )
 
         nt = len(self._triangles)
@@ -572,6 +630,7 @@ class SceneBuilder:
             textures=textures,
             lights=lights,
             bvh=bvh,
+            media=media,
             background=jnp.asarray(self.background),
             environment=jnp.asarray(self.environment),
             n_spheres=ns,
@@ -754,22 +813,49 @@ class _JsonVisitor:
             )
         elif ty == "constant-medium":
             inner = self._shape_def(d["shape"])
-            if inner["type"] != "sphere":
-                raise NotImplementedError(
-                    "constant-medium is supported over sphere boundaries; "
-                    f"got {inner['type']!r}"
-                )
             if self._transform_of(inner) is not None:
                 raise NotImplementedError(
                     "transform on a constant-medium's inner shape is not "
                     "supported; put the transform on the constant-medium"
                 )
-            if important:
-                print("importance sampling on unsupported shape!")
-            self.b.add_sphere(
-                inner["center"], inner["radius"], material,
-                transform=transform, medium_density=d["density"],
-            )
+            ity = inner["type"]
+            kw = dict(transform=transform, important=important)
+            if ity == "sphere":
+                self.b.add_medium(
+                    d["density"], material,
+                    spheres=[(inner["center"], inner["radius"])], **kw,
+                )
+            elif ity == "cuboid":
+                self.b.add_medium(
+                    d["density"], material,
+                    cuboids=[(inner["p0"], inner["p1"])], **kw,
+                )
+            elif ity in ("xy-rect", "yz-rect", "zx-rect"):
+                axis = RECT_AXIS_BY_NAME[ity[:2]]
+                a0, a1, b0, b1, k = {
+                    "xy-rect": ("x0", "x1", "y0", "y1", "z"),
+                    "yz-rect": ("y0", "y1", "z0", "z1", "x"),
+                    "zx-rect": ("z0", "z1", "x0", "x1", "y"),
+                }[ity]
+                self.b.add_medium(
+                    d["density"], material,
+                    rects=[(axis, inner[a0], inner[a1], inner[b0],
+                            inner[b1], inner[k])], **kw,
+                )
+            elif ity == "triangle":
+                self.b.add_medium(
+                    d["density"], material,
+                    triangles=[inner["vertices"]], **kw,
+                )
+            elif ity == "mesh":
+                pts, _nrm, _uvs = self.load_obj(
+                    inner["file"], inner.get("model")
+                )
+                self.b.add_medium(d["density"], material, triangles=pts, **kw)
+            else:
+                raise ValueError(
+                    f"unknown constant-medium inner shape type {ity!r}"
+                )
         else:
             raise ValueError(f"unknown shape type {ty!r}")
 

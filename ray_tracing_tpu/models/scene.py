@@ -57,12 +57,7 @@ class SphereTable:
     radius: jnp.ndarray  # (S,) f32
     material: jnp.ndarray  # (S,) i32 index into MaterialTable
     transform: jnp.ndarray  # (S,) i32 index into TransformTable (0 = identity)
-    medium_niv: jnp.ndarray  # (S,) f32 neg_inv_density; 0 = solid surface
-    medium_col: jnp.ndarray  # (S,) i32 column into the per-bounce medium
-    #                            uniform block; -1 for solid spheres
-    n_medium: int = struct.field(pytree_node=False, default=0)
     has_transforms: bool = struct.field(pytree_node=False, default=False)
-    has_medium: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self):
         return self.center.shape[0]
@@ -174,6 +169,74 @@ class TextureTable:
 
 
 @struct.dataclass
+class MediumBoundary:
+    """Boundary primitives of one constant medium (reference
+    constant_medium.rs:41-60 is generic over any inner Hittable; a
+    multi-primitive inner shape — the RTNW smoke cuboid — becomes a
+    HittableGroup, reference json.rs:565-576).  Prim counts per kind are
+    static compile-time facts."""
+
+    sph_center: jnp.ndarray  # (Bs, 3)
+    sph_radius: jnp.ndarray  # (Bs,)
+    rect_axis: jnp.ndarray  # (Br,) i32 variant 0=xy/1=yz/2=zx
+    rect_a0: jnp.ndarray
+    rect_a1: jnp.ndarray
+    rect_b0: jnp.ndarray
+    rect_b1: jnp.ndarray
+    rect_k: jnp.ndarray
+    tri_v0: jnp.ndarray  # (Bt, 3)
+    tri_e12: jnp.ndarray
+    tri_e13: jnp.ndarray
+    n_sph: int = struct.field(pytree_node=False, default=0)
+    n_rect: int = struct.field(pytree_node=False, default=0)
+    n_tri: int = struct.field(pytree_node=False, default=0)
+
+
+def make_medium_boundary(spheres=(), rects=(), tris=()) -> MediumBoundary:
+    """spheres: [(center, radius)]; rects: [(axis, a0, a1, b0, b1, k)];
+    tris: (Bt, 3, 3) vertex array."""
+    f32 = np.float32
+    sc = np.stack([np.asarray(c, f32) for c, _ in spheres]) if spheres else np.zeros((0, 3), f32)
+    sr = np.asarray([r for _, r in spheres], f32)
+    ra = np.asarray([r[0] for r in rects], np.int32)
+    rf = [np.asarray([r[i] for r in rects], f32) for i in range(1, 6)]
+    tv = np.asarray(tris, f32).reshape(-1, 3, 3) if len(tris) else np.zeros((0, 3, 3), f32)
+    return MediumBoundary(
+        sph_center=_f32(sc), sph_radius=_f32(sr),
+        rect_axis=_i32(ra), rect_a0=_f32(rf[0]), rect_a1=_f32(rf[1]),
+        rect_b0=_f32(rf[2]), rect_b1=_f32(rf[3]), rect_k=_f32(rf[4]),
+        tri_v0=_f32(tv[:, 0]), tri_e12=_f32(tv[:, 1] - tv[:, 0]),
+        tri_e13=_f32(tv[:, 2] - tv[:, 0]),
+        n_sph=len(spheres), n_rect=len(rects), n_tri=tv.shape[0],
+    )
+
+
+@struct.dataclass
+class MediumTable:
+    """All constant media in the scene.  ``boundaries`` is a static
+    tuple (one MediumBoundary per medium — the member list changes the
+    traced program, like LightTable); ``transform`` holds static
+    transform-table slots applied around the whole medium (reference
+    wraps the ConstantMedium itself in TransformHittable,
+    json.rs:549-576)."""
+
+    boundaries: tuple = ()  # of MediumBoundary (pytree leaves inside)
+    niv: jnp.ndarray = None  # (M,) f32 neg_inv_density
+    material: jnp.ndarray = None  # (M,) i32 phase-function material
+    transform: tuple = struct.field(pytree_node=False, default=())
+
+    def __len__(self):
+        return len(self.boundaries)
+
+
+def empty_medium_table() -> MediumTable:
+    return MediumTable(
+        boundaries=(), niv=_f32(np.zeros((0,))), material=_i32(np.zeros((0,))),
+        transform=(),
+    )
+
+
+@struct.dataclass
 class LightTable:
     """Importance-sampled ("important") primitives — the reference's
     ``Scene::lights`` HittableGroup (reference src/scene.rs:52-61).
@@ -206,6 +269,7 @@ class SceneData:
     environment: jnp.ndarray  # (3,) color at depth exhaustion
     #                           (reference renderer.rs:128-130)
     bvh: Any = None  # Optional[ops.bvh.BVHTable] over the triangle table
+    media: MediumTable = None  # constant media (None only on legacy pytrees)
     # static layout facts (compile-time constants)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_triangles: int = struct.field(pytree_node=False, default=0)
@@ -251,7 +315,6 @@ def empty_sphere_table() -> SphereTable:
     zi = np.zeros((0,), np.int32)
     return SphereTable(
         center=_f32(z3), radius=_f32(z), material=_i32(zi), transform=_i32(zi),
-        medium_niv=_f32(z), medium_col=_i32(zi),
     )
 
 

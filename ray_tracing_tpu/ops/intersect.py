@@ -39,6 +39,7 @@ KIND_NONE = -1
 KIND_SPHERE = 0
 KIND_TRIANGLE = 1
 KIND_RECT = 2
+KIND_MEDIUM = 3  # index = medium id (constant media live in scene.media)
 
 
 @struct.dataclass
@@ -71,28 +72,19 @@ def _sphere_object_ray(scene: SceneData, ro, rd, t_min, t_max):
     return ro_n, rd_n, None, t_min, t_max
 
 
-def _sphere_phase_a(scene: SceneData, ro, rd, t_min, t_max, med_u):
+def _sphere_phase_a(scene: SceneData, ro, rd, t_min, t_max):
     sp = scene.spheres
     ro_o, rd_o, nrm, t_min_o, t_max_o = _sphere_object_ray(
         scene, ro, rd, t_min, t_max
     )
     solid = geo.sphere_t(ro_o, rd_o, sp.center, sp.radius, t_min_o, t_max_o)
     t, mask = solid.t, solid.mask
-    if sp.has_medium:
-        u = med_u[:, sp.medium_col]  # (N, S); col -1 wraps, masked below
-        med = geo.sphere_medium_t(
-            ro_o, rd_o, sp.center, sp.radius, t_min_o, t_max_o,
-            sp.medium_niv, u,
-        )
-        is_med = sp.medium_niv != 0.0
-        t = jnp.where(is_med, med.t, t)
-        mask = jnp.where(is_med, med.mask, mask)
     if nrm is not None:
         t = t / nrm
     return t, mask
 
 
-def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, med_u, idx):
+def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
     """Full record for one gathered sphere per ray; idx: (N,)."""
     sp = scene.spheres
     center = sp.center[idx]  # (N, 3)
@@ -112,22 +104,11 @@ def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, med_u, idx):
     root1, root2, disc_ok = geo.sphere_roots(ro_o, rd_o, center, radius)
     mask1 = disc_ok & (root1 >= t_min_o) & (root1 <= t_max_o)
     t_obj = jnp.where(mask1, root1, root2)
-    is_med = sp.medium_niv[idx] != 0.0 if sp.has_medium else None
-    if sp.has_medium:
-        u = med_u[jnp.arange(idx.shape[0]), sp.medium_col[idx]]
-        flight = sp.medium_niv[idx] * jnp.log(jnp.maximum(u, 1e-38))
-        t_obj = jnp.where(is_med, root1 + flight, t_obj)
 
     p_obj = ro_o + rd_o * t_obj[..., None]
     outward = geo.normalize(p_obj - center)
     front_face, normal_obj = geo.face_normal(rd_o, outward)
     uv = geo.sphere_uv(outward)
-    if sp.has_medium:
-        # reference constant_medium.rs:77-84: fixed +x normal, front face
-        med_n = jnp.zeros_like(normal_obj).at[..., 0].set(1.0)
-        normal_obj = jnp.where(is_med[..., None], med_n, normal_obj)
-        front_face = jnp.where(is_med, True, front_face)
-        uv = jnp.where(is_med[..., None], 0.0, uv)
 
     if sp.has_transforms:
         p = geo.transform_point(fwd, fwd_t, p_obj)
@@ -258,6 +239,88 @@ def _rect_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
     return p, normal, t, uv, front_face
 
 
+def _boundary_nearest(bd, ro, rd, t_lo, t_hi):
+    """Nearest hit of rays against one medium's boundary group
+    (reference HittableGroup closest-hit fold, group.rs:58-67).
+
+    t_lo may be a per-ray (N,) array (the second hit's window starts at
+    the first hit + EPSILON).  Returns (t (N,), mask (N,)).
+    """
+    n = ro.shape[0]
+    best_t = jnp.full((n,), INF, jnp.float32)
+    found = jnp.zeros((n,), bool)
+    lo = jnp.broadcast_to(jnp.asarray(t_lo, jnp.float32), (n,))[:, None]
+
+    def fold(t_grid, mask_grid):
+        nonlocal best_t, found
+        t_masked = jnp.where(mask_grid, t_grid, INF)
+        t_best = jnp.min(t_masked, axis=1)
+        better = t_best < best_t
+        best_t = jnp.where(better, t_best, best_t)
+        found = found | jnp.any(mask_grid, axis=1)
+
+    ro_n, rd_n = ro[:, None, :], rd[:, None, :]
+    if bd.n_sph:
+        # per-prim nearest-root select within the window, exactly the
+        # sphere hit the group would fold (reference sphere.rs:72-82)
+        root1, root2, disc_ok = geo.sphere_roots(
+            ro_n, rd_n, bd.sph_center, bd.sph_radius
+        )
+        mask1 = disc_ok & (root1 >= lo) & (root1 <= t_hi)
+        mask2 = disc_ok & (root2 >= lo) & (root2 <= t_hi)
+        fold(jnp.where(mask1, root1, root2), mask1 | mask2)
+    if bd.n_rect:
+        t, mask, _, _ = geo.rect_t(
+            ro_n, rd_n, bd.rect_axis, bd.rect_a0, bd.rect_a1,
+            bd.rect_b0, bd.rect_b1, bd.rect_k, lo, t_hi,
+        )
+        fold(t, mask)
+    if bd.n_tri:
+        t, mask, _, _, _ = geo.triangle_t(
+            ro_n, rd_n, bd.tri_v0, bd.tri_e12, bd.tri_e13, lo, t_hi
+        )
+        fold(t, mask)
+    return best_t, found
+
+
+def _medium_phase_a(scene: SceneData, ro, rd, t_min, t_max, med_u):
+    """Free-flight candidate t per constant medium: the generic
+    double-hit of reference constant_medium.rs:41-75 — first boundary
+    hit over (-inf, inf), second over (t1+EPSILON, inf), exponential
+    flight between them.  Returns (t (N, M), mask (N, M)); column m
+    consumes uniform ``med_u[:, m]``."""
+    from ray_tracing_tpu.ops.geometry import EPSILON
+
+    ts, masks = [], []
+    for m, bd in enumerate(scene.media.boundaries):
+        slot = scene.media.transform[m]
+        if slot:
+            inv = scene.transforms.inv[slot]
+            inv_t = scene.transforms.inv_t[slot]
+            ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro, rd)
+            t_min_o, t_max_o = t_min * nrm, t_max * nrm
+        else:
+            ro_o, rd_o, nrm = ro, rd, None
+            t_min_o, t_max_o = t_min, t_max
+        t1, m1 = _boundary_nearest(bd, ro_o, rd_o, -INF, INF)
+        t2, m2 = _boundary_nearest(bd, ro_o, rd_o, t1 + EPSILON, INF)
+        mask = m1 & m2
+        lo = jnp.maximum(t1, t_min_o)
+        hi = jnp.minimum(t2, t_max_o)
+        mask = mask & (lo < hi)
+        lo = jnp.maximum(lo, 0.0)
+        flight = scene.media.niv[m] * jnp.log(jnp.maximum(med_u[:, m], 1e-38))
+        mask = mask & (flight <= hi - lo)
+        # reference quirk kept (constant_medium.rs:67-75): flight runs
+        # from the clamped window but t is measured from the raw t1
+        t = t1 + flight
+        if nrm is not None:
+            t = t / nrm
+        ts.append(t)
+        masks.append(mask)
+    return jnp.stack(ts, axis=1), jnp.stack(masks, axis=1)
+
+
 def intersect_scene(
     scene: SceneData,
     ro: jnp.ndarray,
@@ -313,7 +376,7 @@ def intersect_scene(
         best_kind = jnp.where(better, pkind, best_kind)
         best_idx = jnp.where(better, pidx, best_idx)
     elif scene.n_spheres:
-        consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max, med_u), KIND_SPHERE)
+        consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max), KIND_SPHERE)
     if scene.n_triangles:
         strategy = mesh_strategy(scene)
         if strategy == "bvh":
@@ -330,6 +393,10 @@ def intersect_scene(
             consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
     if scene.n_rects and not use_pallas:
         consider(*_rect_phase_a(scene, ro, rd, t_min, t_max), KIND_RECT)
+    if scene.n_medium:
+        consider(
+            *_medium_phase_a(scene, ro, rd, t_min, t_max, med_u), KIND_MEDIUM
+        )
 
     mask = best_kind != KIND_NONE
 
@@ -351,7 +418,7 @@ def intersect_scene(
         material = jnp.where(sel, mat_ids, material)
 
     if scene.n_spheres:
-        rec = _sphere_phase_b(scene, ro, rd, t_min, t_max, med_u, best_idx)
+        rec = _sphere_phase_b(scene, ro, rd, t_min, t_max, best_idx)
         merge(KIND_SPHERE, rec, scene.spheres.material[best_idx])
     if scene.n_triangles:
         rec = _triangle_phase_b(scene, ro, rd, t_min, t_max, best_idx)
@@ -359,6 +426,16 @@ def intersect_scene(
     if scene.n_rects:
         rec = _rect_phase_b(scene, ro, rd, t_min, t_max, best_idx)
         merge(KIND_RECT, rec, scene.rects.material[best_idx])
+    if scene.n_medium:
+        # reference constant_medium.rs:77-84: fixed +x normal, front
+        # face true, uv zero; p follows from the world-space ray
+        sel = best_kind == KIND_MEDIUM
+        p = jnp.where(sel[:, None], ro + rd * best_t[:, None], p)
+        med_n = jnp.zeros((n, 3), jnp.float32).at[:, 0].set(1.0)
+        normal = jnp.where(sel[:, None], med_n, normal)
+        uv = jnp.where(sel[:, None], 0.0, uv)
+        front_face = jnp.where(sel, True, front_face)
+        material = jnp.where(sel, scene.media.material[best_idx], material)
 
     return Hit(
         p=p,

@@ -67,11 +67,13 @@ def _emitted_given_tex(scene: SceneData, hit: Hit, tex: jnp.ndarray) -> jnp.ndar
 
 class ShadeAux(NamedTuple):
     """Per-ray shading facts needed by path-replay backprop
-    (render/prb.py): which color-table entry fed this bounce."""
+    (render/prb.py): which color-source entry fed this bounce."""
 
     leaf_tex: jnp.ndarray  # (N,) i32 resolved texture leaf id
     leaf_is_solid: jnp.ndarray  # (N,) bool — leaf reads textures.color
     tex_value: jnp.ndarray  # (N, 3) the evaluated texture color
+    leaf_is_image: jnp.ndarray  # (N,) bool — leaf reads textures.images
+    texel: jnp.ndarray  # (N,) i32 flat atlas index (img*H + j)*W + i
 
 
 def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
@@ -79,8 +81,8 @@ def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
     """Fused emission + scatter: evaluates the hit's material texture
     once (it feeds both the diffuse-light emission and the lambertian /
     isotropic attenuation).  Returns (emitted (N,3), Scatter[, ShadeAux])."""
-    from ray_tracing_tpu.models.scene import TEX_SOLID
-    from ray_tracing_tpu.ops.textures import resolve_leaf
+    from ray_tracing_tpu.models.scene import TEX_IMAGE, TEX_SOLID
+    from ray_tracing_tpu.ops.textures import image_texel_index, resolve_leaf
 
     tex = texture_value(
         scene.textures, scene.materials.tex[hit.material], hit.uv, hit.p
@@ -91,13 +93,23 @@ def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
     )
     if not with_aux:
         return out
-    leaf = resolve_leaf(
-        scene.textures, scene.materials.tex[hit.material], hit.p
-    )
+    tt = scene.textures
+    leaf = resolve_leaf(tt, scene.materials.tex[hit.material], hit.p)
+    if tt.images.shape[0] > 0:
+        leaf_is_image = tt.ttype[leaf] == TEX_IMAGE
+        img = tt.image[leaf]
+        j, i = image_texel_index(tt, img, hit.uv)
+        hmax, wmax = tt.images.shape[1], tt.images.shape[2]
+        texel = (img * hmax + j) * wmax + i
+    else:
+        leaf_is_image = jnp.zeros(leaf.shape, bool)
+        texel = jnp.zeros(leaf.shape, jnp.int32)
     aux = ShadeAux(
         leaf_tex=leaf,
-        leaf_is_solid=scene.textures.ttype[leaf] == TEX_SOLID,
+        leaf_is_solid=tt.ttype[leaf] == TEX_SOLID,
         tex_value=tex,
+        leaf_is_image=leaf_is_image,
+        texel=texel,
     )
     return out + (aux,)
 

@@ -149,10 +149,11 @@ def pack_primitive_tables(scene: SceneData):
 
 
 def pallas_eligible(scene: SceneData) -> bool:
-    """The kernel covers untransformed, non-medium spheres + rects."""
+    """The kernel covers untransformed spheres + rects (constant media
+    live in their own table, ops/intersect.py:_medium_phase_a, so they
+    never block eligibility)."""
     return (
         not scene.spheres.has_transforms
-        and not scene.spheres.has_medium
         and not scene.rects.has_transforms
         and (scene.n_spheres + scene.n_rects) > 0
     )

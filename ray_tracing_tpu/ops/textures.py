@@ -91,9 +91,9 @@ def perlin_turb(tt: TextureTable, p, depth, max_depth: int):
     return jnp.abs(accum)
 
 
-def image_value(tt: TextureTable, img_idx, uv):
-    """Nearest-texel lookup with u clamped and v flipped
-    (reference image.rs:26-72)."""
+def image_texel_index(tt: TextureTable, img_idx, uv):
+    """(row j, col i) of the nearest texel, with u clamped and v flipped
+    (reference image.rs:26-48)."""
     u = jnp.clip(uv[..., 0], 0.0, 1.0)
     v = 1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)
     dims = tt.image_dims[img_idx]  # (..., 2) = (h, w)
@@ -101,6 +101,12 @@ def image_value(tt: TextureTable, img_idx, uv):
     w = dims[..., 1]
     i = jnp.minimum((w.astype(jnp.float32) * u).astype(jnp.int32), w - 1)
     j = jnp.minimum((h.astype(jnp.float32) * v).astype(jnp.int32), h - 1)
+    return j, i
+
+
+def image_value(tt: TextureTable, img_idx, uv):
+    """Nearest-texel lookup (reference image.rs:26-72)."""
+    j, i = image_texel_index(tt, img_idx, uv)
     return tt.images[img_idx, j, i]  # (..., 3), already /255
 
 

@@ -27,12 +27,18 @@ Memory is O(N): the only residual is the forward radiance per ray.
 The backward costs one (compacted) forward pass plus tiny one-hot
 reductions — vs AD's rematerialized forward + transpose sweep.
 
-Gradients cover ``scene.textures.color`` (solid-color leaves: wall /
-sphere albedos and emitter radiance).  Atlas texels and metal albedo
-keep the AD path.
+Gradients cover every color-linear parameter in one replay:
+``scene.textures.color`` (solid-color leaves: albedos and emitter
+radiance), ``scene.textures.images`` (atlas texels — the C5 texture-fit
+deliverable), and ``scene.materials.albedo`` (metal).  The non-linear
+scalar parameters (metal fuzz, dielectric IR) move the scattered
+*direction* rather than scale the throughput; they are handled by the
+forward-mode tangent replay in ``render/prb_scalar.py``.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +47,7 @@ from ray_tracing_tpu.models.scene import (
     MAT_DIFFUSE_LIGHT,
     MAT_ISOTROPIC,
     MAT_LAMBERTIAN,
+    MAT_METAL,
     SceneData,
 )
 from ray_tracing_tpu.ops.geometry import EPSILON, INF
@@ -49,6 +56,15 @@ from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 from ray_tracing_tpu.render.integrator import trace, trace_compacted
 
 _A_EPS = 1e-6
+
+
+class PrbParams(NamedTuple):
+    """The color-linear differentiable parameter set (one replay covers
+    all three; see module docstring)."""
+
+    color: jnp.ndarray  # (T, 3) = scene.textures.color
+    images: jnp.ndarray  # (I, Hmax, Wmax, 3) = scene.textures.images
+    metal_albedo: jnp.ndarray  # (M, 3) = scene.materials.albedo
 
 
 def _one_hot_add(gacc, leaf, contrib, mask):
@@ -67,11 +83,27 @@ def _one_hot_add(gacc, leaf, contrib, mask):
     )
 
 
+def _scatter_add(gimg, texel, contrib, mask):
+    """gimg (P, 3) += scatter of masked contributions at flat texel ids.
+
+    Atlas scatters ride the scalar unit (~2 ms / 64k rows on TPU), so
+    the whole thing is gated on "did any ray touch an image texture this
+    bounce" — most bounce blocks did not.
+    """
+
+    def do(gimg):
+        c = jnp.where(mask[:, None], contrib, 0.0)
+        return gimg.at[texel].add(c)
+
+    return jax.lax.cond(jnp.any(mask), do, lambda x: x, gimg)
+
+
 def _prb_bounce(scene: SceneData, kb, carry):
     """One replayed bounce: identical control/RNG to integrator._bounce
     (kept in lock-step; tests assert the replayed radiance matches the
-    forward bit-for-bit) plus the two gradient accumulations."""
+    forward bit-for-bit) plus the gradient accumulations."""
     rad, thr, ro, rd, alive, gacc, g, rad_total = carry
+    gcol, gimg, gmet = gacc
     n = ro.shape[0]
     if scene.n_medium > 0:
         med_u = jax.random.uniform(
@@ -90,40 +122,69 @@ def _prb_bounce(scene: SceneData, kb, carry):
     em, sc, aux = shade(scene, hit, rd, u, with_aux=True)
 
     mtype = scene.materials.mtype[hit.material]
+    has_images = scene.textures.images.shape[0] > 0
 
     # emission gradient: d rad / d emit = T_k (one-sided emission)
-    emit_mask = found & (mtype == MAT_DIFFUSE_LIGHT) & hit.front_face & aux.leaf_is_solid
-    gacc = _one_hot_add(gacc, aux.leaf_tex, g * thr, emit_mask)
+    emit_mask = found & (mtype == MAT_DIFFUSE_LIGHT) & hit.front_face
+    gcol = _one_hot_add(gcol, aux.leaf_tex, g * thr, emit_mask & aux.leaf_is_solid)
+    if has_images:
+        gimg = _scatter_add(
+            gimg, aux.texel, g * thr, emit_mask & aux.leaf_is_image
+        )
 
     rad = rad + jnp.where(found[:, None], thr * em, 0.0)
     new_alive = found & sc.scattered
 
     # albedo gradient: d rad / d A_j = (rad_total - prefix_j) / A_j
-    albedo_mask = (
-        new_alive
-        & ((mtype == MAT_LAMBERTIAN) | (mtype == MAT_ISOTROPIC))
-        & aux.leaf_is_solid
+    albedo_mask = new_alive & (
+        (mtype == MAT_LAMBERTIAN) | (mtype == MAT_ISOTROPIC)
     )
     suffix = rad_total - rad  # radiance strictly after this bounce
     a_safe = jnp.maximum(aux.tex_value, _A_EPS)
-    gacc = _one_hot_add(gacc, aux.leaf_tex, g * suffix / a_safe, albedo_mask)
+    alb_contrib = g * suffix / a_safe
+    gcol = _one_hot_add(
+        gcol, aux.leaf_tex, alb_contrib, albedo_mask & aux.leaf_is_solid
+    )
+    if has_images:
+        gimg = _scatter_add(
+            gimg, aux.texel, alb_contrib, albedo_mask & aux.leaf_is_image
+        )
+
+    # metal albedo: the Specular coefficient is the albedo itself
+    # (reference metal.rs:31-46), so the same suffix/A trick applies,
+    # keyed by material row instead of texture leaf
+    metal_mask = new_alive & (mtype == MAT_METAL)
+    met_safe = jnp.maximum(scene.materials.albedo[hit.material], _A_EPS)
+    gmet = _one_hot_add(gmet, hit.material, g * suffix / met_safe, metal_mask)
 
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
-    return rad, thr, ro, rd, new_alive, gacc, g, rad_total
+    return rad, thr, ro, rd, new_alive, (gcol, gimg, gmet), g, rad_total
+
+
+def _zero_grads(scene):
+    """(gcol (T,3), gimg (I*H*W, 3) flat, gmet (M,3)) accumulators."""
+    t = scene.textures.color.shape[0]
+    i, h, w = scene.textures.images.shape[:3]
+    m = scene.materials.albedo.shape[0]
+    return (
+        jnp.zeros((t, 3), jnp.float32),
+        jnp.zeros((i * h * w, 3), jnp.float32),
+        jnp.zeros((m, 3), jnp.float32),
+    )
 
 
 def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g):
-    """Replay the dense loop; returns (gacc (T,3), replayed_rad (N,3))."""
+    """Replay the dense loop; returns ((gcol, gimg_flat, gmet),
+    replayed_rad (N,3))."""
     n = ro.shape[0]
-    t = scene.textures.color.shape[0]
     carry = (
         jnp.zeros((n, 3), jnp.float32),
         jnp.ones((n, 3), jnp.float32),
         ro, rd,
         jnp.ones((n,), bool),
-        jnp.zeros((t, 3), jnp.float32),
+        _zero_grads(scene),
         g, rad_total,
     )
 
@@ -148,12 +209,11 @@ def prb_grad_compacted(
     n = ro.shape[0]
     chunk = n // chunk_div
     assert chunk * chunk_div == n
-    t = scene.textures.color.shape[0]
 
     rad = jnp.zeros((n, 3), jnp.float32)
     thr = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
-    gacc = jnp.zeros((t, 3), jnp.float32)
+    gacc = _zero_grads(scene)
     orig = jnp.arange(n, dtype=jnp.int32)
 
     n_stages = -(-max_depth // stage_bounces)
@@ -218,6 +278,76 @@ def prb_grad_compacted(
     return gacc, rad_out
 
 
+def _with_params(scene: SceneData, params: PrbParams) -> SceneData:
+    return scene.replace(
+        textures=scene.textures.replace(
+            color=params.color, images=params.images
+        ),
+        materials=scene.materials.replace(albedo=params.metal_albedo),
+    )
+
+
+def prb_radiance_full(
+    params: PrbParams,
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    *,
+    compaction: bool = True,
+):
+    """Per-ray radiance, differentiable w.r.t. every color-linear
+    parameter (solid colors, atlas texels, metal albedo) via path-replay
+    backprop.
+
+    Forward may use the compacted loop (AD could not); backward costs
+    one replayed forward.  Scene/rays/key are treated as constants.
+    """
+
+    import numpy as np
+
+    def run_fwd(p, ro, rd, keydata):
+        k = jax.random.wrap_key_data(keydata)
+        s = _with_params(scene, p)
+        if compaction:
+            return trace_compacted(s, ro, rd, k, max_depth)
+        return trace(s, ro, rd, k, max_depth)
+
+    # ro/rd/key pass through the custom_vjp as explicit inputs so they
+    # may be tracers of an enclosing transformation (e.g. a lax.map over
+    # tiles); only ``params`` receives a real cotangent.
+    @jax.custom_vjp
+    def inner(p, ro, rd, keydata):
+        return run_fwd(p, ro, rd, keydata)
+
+    def fwd(p, ro, rd, keydata):
+        rad = run_fwd(p, ro, rd, keydata)
+        return rad, (p, ro, rd, keydata, rad)
+
+    def bwd(res, g):
+        p, ro, rd, keydata, rad = res
+        k = jax.random.wrap_key_data(keydata)
+        s = _with_params(scene, p)
+        if compaction:
+            (gcol, gimg, gmet), _ = prb_grad_compacted(
+                s, ro, rd, k, max_depth, rad, g
+            )
+        else:
+            (gcol, gimg, gmet), _ = prb_grad_dense(
+                s, ro, rd, k, max_depth, rad, g
+            )
+        return (
+            PrbParams(gcol, gimg.reshape(p.images.shape), gmet),
+            jnp.zeros_like(ro),
+            jnp.zeros_like(rd),
+            np.zeros((2,), jax.dtypes.float0),
+        )
+
+    inner.defvjp(fwd, bwd)
+    return inner(params, ro, rd, jax.random.key_data(key))
+
+
 def prb_radiance(
     colors: jnp.ndarray,
     scene: SceneData,
@@ -228,47 +358,12 @@ def prb_radiance(
     *,
     compaction: bool = True,
 ):
-    """Per-ray radiance, differentiable w.r.t. ``colors``
-    (= scene.textures.color) via path-replay backprop.
-
-    Forward may use the compacted loop (AD could not); backward costs
-    one replayed forward.  Scene/rays/key are treated as constants.
-    """
-
-    import numpy as np
-
-    def run_fwd(c, ro, rd, keydata):
-        k = jax.random.wrap_key_data(keydata)
-        s = scene.replace(textures=scene.textures.replace(color=c))
-        if compaction:
-            return trace_compacted(s, ro, rd, k, max_depth)
-        return trace(s, ro, rd, k, max_depth)
-
-    # ro/rd/key pass through the custom_vjp as explicit inputs so they
-    # may be tracers of an enclosing transformation (e.g. a lax.map over
-    # tiles); only ``colors`` receives a real cotangent.
-    @jax.custom_vjp
-    def inner(c, ro, rd, keydata):
-        return run_fwd(c, ro, rd, keydata)
-
-    def fwd(c, ro, rd, keydata):
-        rad = run_fwd(c, ro, rd, keydata)
-        return rad, (c, ro, rd, keydata, rad)
-
-    def bwd(res, g):
-        c, ro, rd, keydata, rad = res
-        k = jax.random.wrap_key_data(keydata)
-        s = scene.replace(textures=scene.textures.replace(color=c))
-        if compaction:
-            gacc, _ = prb_grad_compacted(s, ro, rd, k, max_depth, rad, g)
-        else:
-            gacc, _ = prb_grad_dense(s, ro, rd, k, max_depth, rad, g)
-        return (
-            gacc,
-            jnp.zeros_like(ro),
-            jnp.zeros_like(rd),
-            np.zeros((2,), jax.dtypes.float0),
-        )
-
-    inner.defvjp(fwd, bwd)
-    return inner(colors, ro, rd, jax.random.key_data(key))
+    """Colors-only convenience wrapper over ``prb_radiance_full`` (the
+    texel/metal cotangents fall out of the same replay and are simply
+    dropped by the chain rule)."""
+    params = PrbParams(
+        colors, scene.textures.images, scene.materials.albedo
+    )
+    return prb_radiance_full(
+        params, scene, ro, rd, key, max_depth, compaction=compaction
+    )

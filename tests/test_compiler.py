@@ -38,10 +38,12 @@ def test_scene_json_inventory():
     assert s.n_triangles == 4969
     # 6 cuboid faces + 5 walls + 1 light
     assert s.n_rects == 12
-    # glass + earth + noise + medium boundary
-    assert s.n_spheres == 4
+    # glass + earth + noise (the medium's boundary sphere lives in the
+    # medium table, not the sphere table)
+    assert s.n_spheres == 3
     assert s.n_medium == 1
-    assert s.spheres.has_medium
+    assert len(s.media) == 1
+    assert s.media.boundaries[0].n_sph == 1
     # cuboid rects share one transform slot (not identity)
     tr = np.asarray(s.rects.transform)
     assert (tr > 0).sum() == 6
@@ -136,7 +138,9 @@ def test_texture_cycle_detected():
         build_scene(param)
 
 
-def test_medium_on_non_sphere_rejected():
+def test_medium_over_cuboid_compiles():
+    """The RTNW smoke box: constant-medium over a cuboid boundary
+    (reference constant_medium.rs generic over Hittable)."""
     param = {
         "renderer": REN,
         "camera": CAM,
@@ -146,6 +150,33 @@ def test_medium_on_non_sphere_rejected():
                     "type": "constant-medium",
                     "density": 0.1,
                     "shape": {"type": "cuboid", "p0": [0, 0, 0], "p1": [1, 1, 1]},
+                },
+                "material": {
+                    "type": "isotropic",
+                    "albedo": {"type": "solid-color", "color": [1, 1, 1]},
+                },
+            }
+        ],
+    }
+    s = build_scene(param).scene
+    assert s.n_medium == 1
+    assert s.media.boundaries[0].n_rect == 6
+    assert s.n_rects == 0  # boundary rects are not visible scene rects
+
+
+def test_medium_inner_transform_rejected():
+    param = {
+        "renderer": REN,
+        "camera": CAM,
+        "objects": [
+            {
+                "shape": {
+                    "type": "constant-medium",
+                    "density": 0.1,
+                    "shape": {
+                        "type": "sphere", "center": [0, 0, 0], "radius": 1,
+                        "translate": [1, 0, 0],
+                    },
                 },
                 "material": {
                     "type": "isotropic",

@@ -8,9 +8,11 @@ import numpy as np
 from ray_tracing_tpu import SceneBuilder
 from ray_tracing_tpu.render.integrator import trace, trace_compacted
 from ray_tracing_tpu.render.prb import (
+    PrbParams,
     prb_grad_compacted,
     prb_grad_dense,
     prb_radiance,
+    prb_radiance_full,
 )
 
 
@@ -69,6 +71,107 @@ def test_prb_dense_matches_ad_exactly():
     g_prb = np.asarray(jax.grad(loss_prb)(colors))
     np.testing.assert_allclose(g_prb, g_ad, rtol=2e-3, atol=2e-4)
     assert np.abs(g_ad).sum() > 0.1  # gradients are actually nonzero
+
+
+def _textured_cornell():
+    """Cornell variant with an image-textured floor and a fuzzy metal
+    sphere — exercises the texel and metal-albedo gradient paths."""
+    rng = np.random.RandomState(7)
+    img = rng.uniform(0.2, 0.9, (4, 6, 3)).astype(np.float32)
+    b = SceneBuilder(background=(0.05, 0.05, 0.05))
+    floor_tex = b.add_texture_image(img)
+    floor = b.add_lambertian(floor_tex)
+    red = b.add_lambertian(b.add_texture_solid((0.65, 0.15, 0.12)))
+    light = b.add_diffuse_light(b.add_texture_solid((4.0, 3.5, 3.0)))
+    metal = b.add_metal((0.9, 0.85, 0.8), 0.1)
+    b.add_rect("zx", -2, 2, -2, 2, 0.0, floor, positive=True)
+    b.add_rect("xy", -2, 2, 0, 2, -2.0, red, positive=True)
+    b.add_rect("zx", -1, 1, -1, 1, 3.0, light, positive=False, important=True)
+    b.add_sphere((-0.6, 0.5, -0.6), 0.45, metal)
+    return b.build()
+
+
+def test_prb_full_params_match_ad_exactly():
+    """Texel and metal-albedo PRB gradients equal jax.grad on the same
+    dense paths (VERDICT r1 item 2: the full color-linear set)."""
+    scene = _textured_cornell()
+    ro, rd = _rays(2048, seed=2)
+    key = jax.random.key(4)
+    depth = 6
+    rng = np.random.RandomState(1)
+    weights = jnp.asarray(rng.uniform(0, 1, (ro.shape[0], 3)), jnp.float32)
+
+    params = PrbParams(
+        scene.textures.color, scene.textures.images, scene.materials.albedo
+    )
+
+    def loss_ad(p):
+        s = scene.replace(
+            textures=scene.textures.replace(color=p.color, images=p.images),
+            materials=scene.materials.replace(albedo=p.metal_albedo),
+        )
+        return jnp.sum(trace(s, ro, rd, key, depth) * weights)
+
+    g_ad = jax.grad(loss_ad)(params)
+
+    def loss_prb(p):
+        return jnp.sum(
+            prb_radiance_full(p, scene, ro, rd, key, depth, compaction=False)
+            * weights
+        )
+
+    g_prb = jax.grad(loss_prb)(params)
+
+    for name, a, p in zip(
+        PrbParams._fields, g_ad, g_prb
+    ):
+        a, p = np.asarray(a), np.asarray(p)
+        np.testing.assert_allclose(p, a, rtol=2e-3, atol=3e-4, err_msg=name)
+    assert np.abs(np.asarray(g_ad.images)).sum() > 0.01
+    assert np.abs(np.asarray(g_ad.metal_albedo)).sum() > 0.01
+
+
+def test_prb_texel_fit_recovers_image():
+    """C5 deliverable shape: fit atlas texels from rendered targets."""
+    import optax
+
+    scene = _textured_cornell()
+    true_params = PrbParams(
+        scene.textures.color, scene.textures.images, scene.materials.albedo
+    )
+    ro, rd = _rays(8192, seed=13)
+    keys = [jax.random.key(200 + i) for i in range(3)]
+    targets = [
+        prb_radiance_full(true_params, scene, ro, rd, k, 5) for k in keys
+    ]
+
+    images = jnp.full_like(true_params.images, 0.5)
+    opt = optax.adam(0.1)
+    state = opt.init(images)
+
+    @jax.jit
+    def step(images, state, which):
+        def loss(im):
+            p = true_params._replace(images=im)
+            rad = prb_radiance_full(
+                p, scene, ro, rd,
+                jax.lax.switch(which, [lambda k=k: k for k in keys]), 5,
+            )
+            return jnp.mean((rad - jax.lax.switch(
+                which, [lambda t=t: t for t in targets])) ** 2)
+
+        l, grad = jax.value_and_grad(loss)(images)
+        upd, state = opt.update(grad, state)
+        images = optax.apply_updates(images, upd)
+        return jnp.clip(images, 0.05, 1.0), state, l
+
+    for i in range(80):
+        images, state, l = step(images, state, jnp.int32(i % 3))
+    err = np.abs(np.asarray(images) - np.asarray(true_params.images))
+    # texels the camera rays actually see converge; a couple of corner
+    # texels may be under-sampled — judge by the bulk
+    assert np.median(err) < 0.1, err
+    assert np.mean(err < 0.2) > 0.75, err
 
 
 def test_prb_replay_reproduces_forward_exactly():
