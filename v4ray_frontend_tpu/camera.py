@@ -1,125 +1,66 @@
-"""Camera plugin type (reference v4ray_frontend/camera.py:13-135)."""
+"""Camera plugin, as a declarative field table (see plugin.py).
+
+Role parity: reference `v4ray_frontend/camera.py` (PerspectiveCamera
+with its 14 scalar fields and the pinhole-aperture preview).  The
+project-JSON layout (``look_from``/``look_at``/``up`` packed triples
+plus scalar keys) is fixed by the document format; the packing is
+expressed through field slots instead of hand-written dict code."""
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
-from typing import Any, Dict, List, Protocol
-
 import v4ray_tpu as v4ray
-from v4ray_frontend_tpu.properties import AnyProperty, FloatProperty
+from v4ray_frontend_tpu.plugin import CameraType
+from v4ray_frontend_tpu.properties import FloatProperty
+
+__all__ = ["CameraType", "PerspectiveCamera"]
 
 
-class CameraLike(Protocol):
-    ...
-
-
-class CameraType(ABC):
-    @staticmethod
-    @abstractmethod
-    def kind() -> str: ...
-
-    @staticmethod
-    @abstractmethod
-    def properties() -> List[AnyProperty]: ...
-
-    @staticmethod
-    @abstractmethod
-    def validate(data: List[Any]) -> bool: ...
-
-    @staticmethod
-    @abstractmethod
-    def apply(data: List[Any]) -> CameraLike: ...
-
-    @staticmethod
-    @abstractmethod
-    def apply_preview(data: List[Any]) -> CameraLike: ...
-
-    @staticmethod
-    @abstractmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]: ...
-
-    @staticmethod
-    @abstractmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]: ...
+def _triple(label, key, defaults=(0.0, 0.0, 0.0)):
+    return tuple(
+        FloatProperty(f"{label} {axis}", default=d, slot=(key,))
+        for axis, d in zip("xyz", defaults)
+    )
 
 
 class PerspectiveCamera(CameraType):
-    @staticmethod
-    def kind() -> str:
-        return "perspective"
+    KIND = "perspective"
+    FIELDS = (
+        *_triple("position", "look_from", (0.0, 0.0, -10.0)),   # 0-2
+        *_triple("look at", "look_at"),                          # 3-5
+        FloatProperty("vertical fov (deg)", default=20, slot="vfov",
+                      check=lambda v: 0 < float(v) < 180),       # 6
+        *_triple("up", "up", (0.0, 1.0, 0.0)),                   # 7-9
+        FloatProperty("aperture", default=0.0, slot="aperture",
+                      check=lambda v: float(v) >= 0),            # 10
+        FloatProperty("focus distance", default=10.0, slot="focus_dist",
+                      check=lambda v: float(v) > 0),             # 11
+        FloatProperty("shutter time 0", default=0.0, slot="time0"),  # 12
+        FloatProperty("shutter time 1", default=0.0, slot="time1"),  # 13
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [
-            FloatProperty("position x"),  # 0
-            FloatProperty("position y"),  # 1
-            FloatProperty("position z", default=-10),  # 2
-            FloatProperty("look at x"),  # 3
-            FloatProperty("look at y"),  # 4
-            FloatProperty("look at z"),  # 5
-            FloatProperty("vertical fov (deg)", default=20),  # 6
-            FloatProperty("up x", default=0.0),  # 7
-            FloatProperty("up y", default=1.0),  # 8
-            FloatProperty("up z", default=0.0),  # 9
-            FloatProperty("aperture", default=0.0),  # 10
-            FloatProperty("focus distance", default=10.0),  # 11
-            FloatProperty("shutter time 0", default=0.0),  # 12
-            FloatProperty("shutter time 1", default=0.0),  # 13
-        ]
+    @classmethod
+    def rule(cls, data):
+        return float(data[12]) <= float(data[13])
 
-    @staticmethod
-    def validate(data: List[Any]) -> bool:
-        return (
-            0 < float(data[6]) < 180
-            and float(data[10]) >= 0
-            and float(data[11]) > 0
-            and float(data[12]) <= float(data[13])
-        )
-
-    @staticmethod
-    def _apply(data: List[Any], aperture: float) -> CameraLike:
+    @classmethod
+    def _build(cls, data, aperture):
         return v4ray.PerspectiveCameraParam(
-            look_from=(data[0], data[1], data[2]),
-            look_at=(data[3], data[4], data[5]),
+            look_from=tuple(data[0:3]),
+            look_at=tuple(data[3:6]),
             vfov=data[6],
-            up=(data[7], data[8], data[9]),
+            up=tuple(data[7:10]),
             aperture=aperture,
             focus_dist=data[11],
             time0=data[12],
             time1=data[13],
         )
 
-    @staticmethod
-    def apply(data: List[Any]) -> CameraLike:
-        return PerspectiveCamera._apply(data, data[10])
+    @classmethod
+    def apply(cls, data):
+        return cls._build(data, data[10])
 
-    @staticmethod
-    def apply_preview(data: List[Any]) -> CameraLike:
-        # preview forces a pinhole aperture (reference camera.py:92-103)
-        return PerspectiveCamera._apply(data, 0.0)
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {
-            "look_from": [data[0], data[1], data[2]],
-            "look_at": [data[3], data[4], data[5]],
-            "vfov": data[6],
-            "up": [data[7], data[8], data[9]],
-            "aperture": data[10],
-            "focus_dist": data[11],
-            "time0": data[12],
-            "time1": data[13],
-        }
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        return [
-            *data["look_from"],
-            *data["look_at"],
-            data["vfov"],
-            *data["up"],
-            data["aperture"],
-            data["focus_dist"],
-            data["time0"],
-            data["time1"],
-        ]
+    @classmethod
+    def apply_preview(cls, data):
+        # the live preview is single-sample; defocus blur would be pure
+        # noise there, so force a pinhole
+        return cls._build(data, 0.0)

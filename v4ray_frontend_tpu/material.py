@@ -1,229 +1,105 @@
-"""Material plugin types (reference v4ray_frontend/material.py:15-175),
-extended with diffuse-light and isotropic.  ``apply_preview`` returns a
-cheap stand-in used by the editor's live preview (gray lambertian for
-glass, albedo-colored lambertian for metal — reference
-material.py:111-114, 151-154)."""
+"""Material plugins, as declarative field tables (see plugin.py).
+
+Role parity: reference `v4ray_frontend/material.py` (Lambertian,
+Dielectric, Metal — including the preview stand-in idea: glass and
+metal render in the cheap live preview as lambertians), extended with
+the backend's DiffuseLight and Isotropic.  Project-JSON keys
+(``texture``, ``ir``, ``albedo``/``fuzz``, ``emit``/``intensity``) are
+fixed by the document format."""
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
-from typing import Any, Dict, List, Protocol, Set
-from uuid import UUID
-
 import v4ray_tpu as v4ray
+from v4ray_frontend_tpu.plugin import MaterialType
 from v4ray_frontend_tpu.properties import (
-    AnyProperty,
     ColorProperty,
     FloatProperty,
     TextureProperty,
+    rgb01,
 )
-from v4ray_frontend_tpu.texture import TextureLike
+
+__all__ = [
+    "MaterialType", "Lambertian", "Dielectric", "Metal",
+    "DiffuseLight", "Isotropic",
+]
 
 
-class MaterialLike(Protocol):
-    ...
-
-
-class MaterialType(ABC):
-    @staticmethod
-    @abstractmethod
-    def kind() -> str: ...
-
-    @staticmethod
-    @abstractmethod
-    def properties() -> List[AnyProperty]: ...
-
-    @staticmethod
-    @abstractmethod
-    def validate(data: List[Any], valid_textures: Set[UUID]) -> bool: ...
-
-    @staticmethod
-    @abstractmethod
-    def apply_preview(data: List[Any],
-                      textures: Dict[UUID, TextureLike]) -> MaterialLike: ...
-
-    @staticmethod
-    @abstractmethod
-    def apply(data: List[Any],
-              textures: Dict[UUID, TextureLike]) -> MaterialLike: ...
-
-    @staticmethod
-    @abstractmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]: ...
-
-    @staticmethod
-    @abstractmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]: ...
+def _solid(rgb01_tuple):
+    return v4ray.texture.SolidColor(rgb01_tuple)
 
 
 class Lambertian(MaterialType):
-    @staticmethod
-    def kind() -> str:
-        return "lambertian"
+    KIND = "lambertian"
+    FIELDS = (TextureProperty("texture", slot="texture"),)
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [TextureProperty(name="texture")]
-
-    @staticmethod
-    def validate(data: List[Any], valid_textures: Set[UUID]) -> bool:
-        return data[0] is not None and data[0] in valid_textures
-
-    @staticmethod
-    def apply_preview(data, textures):
+    @classmethod
+    def apply(cls, data, textures):
         return v4ray.material.Lambertian(textures[data[0]])
-
-    @staticmethod
-    def apply(data, textures):
-        return v4ray.material.Lambertian(textures[data[0]])
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {} if data[0] is None else {"texture": str(data[0])}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        texture = data.get("texture")
-        return [UUID(texture) if texture is not None else None]
 
 
 class Dielectric(MaterialType):
-    @staticmethod
-    def kind() -> str:
-        return "dielectric"
+    KIND = "dielectric"
+    FIELDS = (
+        FloatProperty("refraction index", default=1.0, slot="ir",
+                      check=lambda v: float(v) >= 1),
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [FloatProperty(name="refraction index", default=1.0)]
-
-    @staticmethod
-    def validate(data: List[Any], valid_textures: Set[UUID]) -> bool:
-        return float(data[0]) >= 1
-
-    @staticmethod
-    def apply_preview(data, textures):
-        return v4ray.material.Lambertian(v4ray.texture.SolidColor((0.9, 0.9, 0.9)))
-
-    @staticmethod
-    def apply(data, textures):
+    @classmethod
+    def apply(cls, data, textures):
         return v4ray.material.Dielectric(data[0])
 
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {"ir": data[0]}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        return [data["ir"]]
+    @classmethod
+    def apply_preview(cls, data, textures):
+        # glass is invisible at preview depth 1; show a neutral gray body
+        return v4ray.material.Lambertian(_solid((0.9, 0.9, 0.9)))
 
 
 class Metal(MaterialType):
-    @staticmethod
-    def kind() -> str:
-        return "metal"
+    KIND = "metal"
+    FIELDS = (
+        ColorProperty("albedo", slot="albedo"),
+        FloatProperty("fuzz", slot="fuzz",
+                      check=lambda v: 0 <= float(v) <= 1),
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [ColorProperty(name="albedo"), FloatProperty(name="fuzz")]
+    @classmethod
+    def apply(cls, data, textures):
+        return v4ray.material.Metal(rgb01(data[0]), data[1])
 
-    @staticmethod
-    def validate(data: List[Any], valid_textures: Set[UUID]) -> bool:
-        return 0 <= float(data[1]) <= 1
-
-    @staticmethod
-    def apply_preview(data, textures):
-        return v4ray.material.Lambertian(
-            v4ray.texture.SolidColor(ColorProperty.map_color(data[0]))
-        )
-
-    @staticmethod
-    def apply(data, textures):
-        return v4ray.material.Metal(ColorProperty.map_color(data[0]), data[1])
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {"albedo": "#%02x%02x%02x" % tuple(data[0]), "fuzz": data[1]}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        s = data["albedo"]
-        return [
-            (int(s[1:3], 16), int(s[3:5], 16), int(s[5:7], 16)),
-            data["fuzz"],
-        ]
+    @classmethod
+    def apply_preview(cls, data, textures):
+        # mirrors need >1 bounce; preview as a matte body of the same hue
+        return v4ray.material.Lambertian(_solid(rgb01(data[0])))
 
 
 class DiffuseLight(MaterialType):
     """Emissive material (backend material the reference editor lacked)."""
 
-    @staticmethod
-    def kind() -> str:
-        return "diffuse light"
+    KIND = "diffuse light"
+    FIELDS = (
+        ColorProperty("emit color", slot="emit"),
+        FloatProperty("intensity", default=1.0, slot="intensity",
+                      check=lambda v: float(v) >= 0),
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [
-            ColorProperty(name="emit color"),
-            FloatProperty(name="intensity", default=1.0),
-        ]
-
-    @staticmethod
-    def validate(data: List[Any], valid_textures: Set[UUID]) -> bool:
-        return float(data[1]) >= 0
-
-    @staticmethod
-    def apply_preview(data, textures):
-        return DiffuseLight.apply(data, textures)
-
-    @staticmethod
-    def apply(data, textures):
-        c = ColorProperty.map_color(data[0])
+    @classmethod
+    def apply(cls, data, textures):
+        r, g, b = rgb01(data[0])
         k = float(data[1])
-        return v4ray.material.DiffuseLight(
-            v4ray.texture.SolidColor((c[0] * k, c[1] * k, c[2] * k))
-        )
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {"emit": "#%02x%02x%02x" % tuple(data[0]), "intensity": data[1]}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        s = data["emit"]
-        return [
-            (int(s[1:3], 16), int(s[3:5], 16), int(s[5:7], 16)),
-            data["intensity"],
-        ]
+        return v4ray.material.DiffuseLight(_solid((r * k, g * k, b * k)))
 
 
 class Isotropic(MaterialType):
     """Volume phase function (backend material the reference editor lacked)."""
 
-    @staticmethod
-    def kind() -> str:
-        return "isotropic"
+    KIND = "isotropic"
+    FIELDS = (TextureProperty("albedo", slot="albedo"),)
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [TextureProperty(name="albedo")]
-
-    @staticmethod
-    def validate(data: List[Any], valid_textures: Set[UUID]) -> bool:
-        return data[0] is not None and data[0] in valid_textures
-
-    @staticmethod
-    def apply_preview(data, textures):
-        return v4ray.material.Lambertian(textures[data[0]])
-
-    @staticmethod
-    def apply(data, textures):
+    @classmethod
+    def apply(cls, data, textures):
         return v4ray.material.Isotropic(textures[data[0]])
 
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {} if data[0] is None else {"albedo": str(data[0])}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        albedo = data.get("albedo")
-        return [UUID(albedo) if albedo is not None else None]
+    @classmethod
+    def apply_preview(cls, data, textures):
+        # a participating medium reads as a surface in the depth-1 preview
+        return v4ray.material.Lambertian(textures[data[0]])

@@ -1,38 +1,164 @@
-"""Property descriptors driving editor forms (reference
-v4ray_frontend/properties.py:6-35): each plugin type declares its fields
-as a flat list of these; the GUI builds widgets from them and stores
-values as plain lists."""
+"""Self-serializing form-field descriptors for the editor plugin system.
+
+Role parity: reference `v4ray_frontend/properties.py` (widget hints the
+GUI turns into Qt forms).  Architecture is different by design: here a
+descriptor owns not just its widget hints but also its slice of the
+project-file JSON — ``slot`` names where the value lives in the plugin's
+JSON object and ``codec`` names how the editor value maps to the JSON
+value.  Generic :func:`pack` / :func:`unpack` / :func:`fields_valid`
+walk a field tuple, so concrete plugin types (shape/texture/material/
+camera modules) never hand-write their JSON round-trip or their
+per-field validation — they are declarative tables.
+
+Slot forms:
+
+* ``"radius"``            — scalar key in the JSON object
+* ``("center",)``         — next component of the flat list at ``center``
+* ``("vertices", i)``     — next component of row ``i`` of a nested list
+
+Codecs (editor value -> JSON value):
+
+* ``number``  float kept as-is
+* ``int``     float in the editor, integer in the JSON
+* ``sign``    float in the editor, ``value > 0`` boolean in the JSON
+              (absent key reads as ``True``)
+* ``hex``     ``(r, g, b)`` 0-255 ints, ``"#rrggbb"`` string in the JSON
+* ``uuid``    :class:`uuid.UUID` reference or None; None omits the key
+"""
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple, Union
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 from uuid import UUID
 
+Slot = Union[str, Tuple[str], Tuple[str, int], None]
 
-@dataclass
+_OMIT = object()      # encoder result: leave the key out of the JSON
+_REQUIRED = object()  # decoder default: key must be present
+
+
+def _rgb_to_hex(rgb: Sequence[int]) -> str:
+    return "#%02x%02x%02x" % tuple(int(c) for c in rgb)
+
+
+def _hex_to_rgb(s: str) -> Tuple[int, int, int]:
+    return int(s[1:3], 16), int(s[3:5], 16), int(s[5:7], 16)
+
+
+def rgb01(rgb: Sequence[int]) -> Tuple[float, float, float]:
+    """0-255 int channels -> 0-1 floats (what backend textures expect)."""
+    return rgb[0] / 255.0, rgb[1] / 255.0, rgb[2] / 255.0
+
+
+# codec name -> (encode, decode, JSON default when the key is absent)
+_CODECS: Dict[str, Tuple[Callable, Callable, Any]] = {
+    "number": (lambda v: v, lambda j: j, _REQUIRED),
+    "int": (lambda v: int(v), lambda j: float(j), _REQUIRED),
+    "sign": (lambda v: float(v) > 0, lambda j: 1.0 if j else -1.0, True),
+    "hex": (_rgb_to_hex, _hex_to_rgb, _REQUIRED),
+    "uuid": (
+        lambda v: _OMIT if v is None else str(v),
+        lambda j: None if j is None else UUID(j),
+        None,
+    ),
+}
+
+
+@dataclass(frozen=True)
 class FloatProperty:
+    """Numeric form field.  ``min``/``max``/``decimals`` are widget hints;
+    ``check`` is the validation predicate (wired into generic validate)."""
+
     name: str
     default: float = 0.0
     min: Optional[float] = None
     max: Optional[float] = None
     decimals: Optional[int] = None
+    slot: Slot = None
+    codec: str = "number"
+    check: Optional[Callable[[Any], bool]] = None
 
 
-@dataclass
+@dataclass(frozen=True)
 class ColorProperty:
+    """RGB swatch field; editor value is a 0-255 int triple."""
+
     name: str
     default: Tuple[int, int, int] = (255, 255, 255)
+    slot: Slot = None
+    codec: str = "hex"
+    check: Optional[Callable[[Any], bool]] = None
 
-    @staticmethod
-    def map_color(color: Tuple[int, int, int]) -> Tuple[float, float, float]:
-        return color[0] / 255, color[1] / 255.0, color[2] / 255.0
 
-
-@dataclass
+@dataclass(frozen=True)
 class TextureProperty:
+    """Reference to another texture node, by document UUID."""
+
     name: str
     default: Optional[UUID] = None
+    slot: Slot = None
+    codec: str = "uuid"
+    check: Optional[Callable[[Any], bool]] = None
 
 
 AnyProperty = Union[FloatProperty, ColorProperty, TextureProperty]
+
+
+def pack(fields: Sequence[AnyProperty], values: Sequence[Any]) -> Dict[str, Any]:
+    """Encode a value list into the plugin's project-JSON object."""
+    out: Dict[str, Any] = {}
+    for f, v in zip(fields, values):
+        encode = _CODECS[f.codec][0]
+        j = encode(v)
+        if j is _OMIT:
+            continue
+        slot = f.slot if f.slot is not None else f.name
+        if isinstance(slot, str):
+            out[slot] = j
+        elif len(slot) == 1:
+            out.setdefault(slot[0], []).append(j)
+        else:
+            key, row = slot
+            rows = out.setdefault(key, [])
+            while len(rows) <= row:
+                rows.append([])
+            rows[row].append(j)
+    return out
+
+
+def unpack(fields: Sequence[AnyProperty], data: Dict[str, Any]) -> List[Any]:
+    """Decode a project-JSON object back into the ordered value list."""
+    cursor: Dict[Any, int] = {}
+    values: List[Any] = []
+    for f in fields:
+        _, decode, absent = _CODECS[f.codec]
+        slot = f.slot if f.slot is not None else f.name
+        if isinstance(slot, str):
+            j = data.get(slot, absent)
+            if j is _REQUIRED:
+                raise KeyError(slot)
+        elif len(slot) == 1:
+            i = cursor.get(slot, 0)
+            cursor[slot] = i + 1
+            j = data[slot[0]][i]
+        else:
+            key, row = slot
+            i = cursor.get(slot, 0)
+            cursor[slot] = i + 1
+            j = data[key][row][i]
+        values.append(decode(j))
+    return values
+
+
+def fields_valid(fields: Sequence[AnyProperty], values: Sequence[Any]) -> bool:
+    """Every per-field ``check`` predicate passes (missing check = pass)."""
+    return all(
+        f.check is None or f.check(v) for f, v in zip(fields, values)
+    )
+
+
+def texture_refs(fields: Sequence[AnyProperty],
+                 values: Sequence[Any]) -> List[Optional[UUID]]:
+    """The values of every texture-reference field, in declaration order."""
+    return [v for f, v in zip(fields, values) if f.codec == "uuid"]

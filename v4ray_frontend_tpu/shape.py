@@ -1,132 +1,68 @@
-"""Shape plugin types for the scene editor (reference
-v4ray_frontend/shape.py:16-91).  Each plugin is a stateless class of
-static methods: ``kind`` names it, ``properties`` declares its form
-fields, ``validate`` checks a value list, ``apply`` instantiates backend
-shapes, and ``to_json``/``from_json`` round-trip the editor's project
-format.  The registry here goes beyond the reference's (which only
-registered Sphere) to cover every backend shape."""
+"""Shape plugins, as declarative field tables (see plugin.py).
+
+Role parity: reference `v4ray_frontend/shape.py` (which registered only
+Sphere); this registry covers every backend shape — the three
+axis-aligned rects, cuboid, and raw triangle included.  Project-JSON
+layouts (``center``/``radius``, flat rect keys + ``positive`` flag,
+``p0``/``p1``, ``vertices`` rows) are fixed by the document format and
+expressed through field slots/codecs."""
 
 from __future__ import annotations
-
-from abc import ABC, abstractmethod
-from typing import Any, Dict, List, Protocol
 
 import numpy as np
 
 import v4ray_tpu as v4ray
-from v4ray_frontend_tpu.properties import AnyProperty, FloatProperty
+from v4ray_frontend_tpu.plugin import ShapeType
+from v4ray_frontend_tpu.properties import FloatProperty
 
-
-class ShapeLike(Protocol):
-    def bounding_box(self) -> "v4ray.AABB": ...
-
-    def hit(self, ray: "v4ray.Ray", t_min: np.ndarray,
-            t_max: np.ndarray) -> "v4ray.HitRecord": ...
-
-
-class ShapeType(ABC):
-    @staticmethod
-    @abstractmethod
-    def kind() -> str: ...
-
-    @staticmethod
-    @abstractmethod
-    def properties() -> List[AnyProperty]: ...
-
-    @staticmethod
-    @abstractmethod
-    def validate(data: List[Any]) -> bool: ...
-
-    @staticmethod
-    @abstractmethod
-    def apply(data: List[Any]) -> List[ShapeLike]: ...
-
-    @staticmethod
-    @abstractmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]: ...
-
-    @staticmethod
-    @abstractmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]: ...
+__all__ = [
+    "ShapeType", "Sphere", "XYRect", "YZRect", "ZXRect", "Cuboid", "Triangle",
+]
 
 
 class Sphere(ShapeType):
-    @staticmethod
-    def kind() -> str:
-        return "sphere"
+    KIND = "sphere"
+    FIELDS = (
+        FloatProperty("center x", slot=("center",)),
+        FloatProperty("center y", slot=("center",)),
+        FloatProperty("center z", slot=("center",)),
+        FloatProperty("radius", slot="radius",
+                      check=lambda v: float(v) > 0),
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [
-            FloatProperty("center x"),
-            FloatProperty("center y"),
-            FloatProperty("center z"),
-            FloatProperty("radius"),
-        ]
-
-    @staticmethod
-    def validate(data: List[Any]) -> bool:
-        return float(data[3]) > 0
-
-    @staticmethod
-    def apply(data: List[Any]) -> List[ShapeLike]:
-        return [v4ray.shape.Sphere((data[0], data[1], data[2]), data[3])]
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {"center": [data[0], data[1], data[2]], "radius": data[3]}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        c = data["center"]
-        return [c[0], c[1], c[2], data["radius"]]
+    @classmethod
+    def apply(cls, data):
+        return [v4ray.shape.Sphere(tuple(data[0:3]), data[3])]
 
 
-def _rect_plugin(kind_name: str, cls, axis_names):
-    a, b, k = axis_names
+def _rect_plugin(kind_name, backend_cls, axes):
+    """One plugin per axis-aligned rect family; `axes` = (u, v, fixed)."""
+    a, b, k = axes
 
-    class Rect(ShapeType):
-        @staticmethod
-        def kind() -> str:
-            return kind_name
+    class _Rect(ShapeType):
+        KIND = kind_name
+        FIELDS = (
+            FloatProperty(f"{a}0", slot=f"{a}0"),
+            FloatProperty(f"{a}1", default=1.0, slot=f"{a}1"),
+            FloatProperty(f"{b}0", slot=f"{b}0"),
+            FloatProperty(f"{b}1", default=1.0, slot=f"{b}1"),
+            FloatProperty(k, slot=k),
+            FloatProperty("positive (>0 = outward +)", default=1.0,
+                          slot="positive", codec="sign"),
+        )
 
-        @staticmethod
-        def properties() -> List[AnyProperty]:
-            return [
-                FloatProperty(f"{a}0"),
-                FloatProperty(f"{a}1", default=1.0),
-                FloatProperty(f"{b}0"),
-                FloatProperty(f"{b}1", default=1.0),
-                FloatProperty(k),
-                FloatProperty("positive (>0 = outward +)", default=1.0),
-            ]
+        @classmethod
+        def rule(cls, data):
+            return (float(data[0]) < float(data[1])
+                    and float(data[2]) < float(data[3]))
 
-        @staticmethod
-        def validate(data: List[Any]) -> bool:
-            return float(data[0]) < float(data[1]) and float(data[2]) < float(data[3])
+        @classmethod
+        def apply(cls, data):
+            return [backend_cls(data[0], data[1], data[2], data[3], data[4],
+                                positive=float(data[5]) > 0)]
 
-        @staticmethod
-        def apply(data: List[Any]) -> List[ShapeLike]:
-            return [cls(data[0], data[1], data[2], data[3], data[4],
-                        positive=float(data[5]) > 0)]
-
-        @staticmethod
-        def to_json(data: List[Any]) -> Dict[str, Any]:
-            return {
-                f"{a}0": data[0], f"{a}1": data[1],
-                f"{b}0": data[2], f"{b}1": data[3],
-                k: data[4], "positive": float(data[5]) > 0,
-            }
-
-        @staticmethod
-        def from_json(data: Dict[str, Any]) -> List[Any]:
-            return [
-                data[f"{a}0"], data[f"{a}1"], data[f"{b}0"], data[f"{b}1"],
-                data[k], 1.0 if data.get("positive", True) else -1.0,
-            ]
-
-    Rect.__name__ = kind_name.replace("-", "_")
-    return Rect
+    _Rect.__name__ = _Rect.__qualname__ = kind_name.replace("-", "_")
+    return _Rect
 
 
 XYRect = _rect_plugin("xy-rect", v4ray.shape.XYRect, ("x", "y", "z"))
@@ -135,61 +71,36 @@ ZXRect = _rect_plugin("zx-rect", v4ray.shape.ZXRect, ("z", "x", "y"))
 
 
 class Cuboid(ShapeType):
-    @staticmethod
-    def kind() -> str:
-        return "cuboid"
+    KIND = "cuboid"
+    FIELDS = tuple(
+        FloatProperty(f"{corner} {axis}", default=d, slot=(corner,))
+        for corner, d in (("p0", 0.0), ("p1", 1.0))
+        for axis in "xyz"
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [
-            FloatProperty("p0 x"), FloatProperty("p0 y"), FloatProperty("p0 z"),
-            FloatProperty("p1 x", default=1.0), FloatProperty("p1 y", default=1.0),
-            FloatProperty("p1 z", default=1.0),
-        ]
+    @classmethod
+    def rule(cls, data):
+        return all(float(lo) < float(hi)
+                   for lo, hi in zip(data[0:3], data[3:6]))
 
-    @staticmethod
-    def validate(data: List[Any]) -> bool:
-        return all(float(data[i]) < float(data[i + 3]) for i in range(3))
-
-    @staticmethod
-    def apply(data: List[Any]) -> List[ShapeLike]:
+    @classmethod
+    def apply(cls, data):
         return [v4ray.shape.Cuboid(data[0:3], data[3:6])]
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        return {"p0": list(data[0:3]), "p1": list(data[3:6])}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        return [*data["p0"], *data["p1"]]
 
 
 class Triangle(ShapeType):
-    @staticmethod
-    def kind() -> str:
-        return "triangle"
+    KIND = "triangle"
+    FIELDS = tuple(
+        FloatProperty(f"v{i} {axis}", slot=("vertices", i))
+        for i in range(3)
+        for axis in "xyz"
+    )
 
-    @staticmethod
-    def properties() -> List[AnyProperty]:
-        return [
-            FloatProperty(f"v{i} {c}") for i in range(3) for c in "xyz"
-        ]
-
-    @staticmethod
-    def validate(data: List[Any]) -> bool:
+    @classmethod
+    def rule(cls, data):
         p = np.asarray(data, np.float64).reshape(3, 3)
         return float(np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))) > 0
 
-    @staticmethod
-    def apply(data: List[Any]) -> List[ShapeLike]:
-        p = np.asarray(data, np.float32).reshape(3, 3)
-        return [v4ray.shape.Triangle(p)]
-
-    @staticmethod
-    def to_json(data: List[Any]) -> Dict[str, Any]:
-        p = np.asarray(data, np.float64).reshape(3, 3)
-        return {"vertices": p.tolist()}
-
-    @staticmethod
-    def from_json(data: Dict[str, Any]) -> List[Any]:
-        return [x for row in data["vertices"] for x in row]
+    @classmethod
+    def apply(cls, data):
+        return [v4ray.shape.Triangle(np.asarray(data, np.float32).reshape(3, 3))]
