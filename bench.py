@@ -3,7 +3,12 @@
 
 North-star metric (BASELINE.json): rays/sec/chip forward+backward at
 1024^2 — one 1-spp differentiable pass (forward radiance + gradient of
-an image loss w.r.t. all texture texels) at the scene's own max_depth.
+an image loss w.r.t. EVERY differentiable scene parameter: solid
+colors, image texels, metal albedo, metal fuzz, dielectric IR) at the
+scene's own max_depth, all on the compacted forward (no AD fallback in
+the gradient path; the RAY_TPU_BENCH_AD subprocess fallback exists only
+for the flaky remote-compiler case and is a cross-check, not the
+metric).
 
 The reference publishes no numbers and cannot be built here (no Rust
 toolchain; BASELINE.md).  `REFERENCE_RAYS_PER_S` is a documented
@@ -99,12 +104,17 @@ def main():
             return jnp.mean(img), segs
     else:
         # path-replay backprop over the compacted forward (render/prb.py)
-        from ray_tracing_tpu.render.prb import prb_radiance
+        # extended to the FULL differentiable parameter set — solid
+        # colors, atlas texels, metal albedo, metal fuzz, dielectric IR —
+        # via the fused single-replay backward (render/prb_scalar.py)
+        from ray_tracing_tpu.render.prb_scalar import (
+            params_of, prb_radiance_all,
+        )
 
         n = WIDTH * HEIGHT
         n_tiles = n // tile
 
-        def fwd(colors, key):
+        def fwd(params, key):
             k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
             st = sample_st(k_st, WIDTH, HEIGHT, True)
             u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
@@ -116,8 +126,8 @@ def main():
 
             def tile_sum(args):
                 ro_t, rd_t, tid = args
-                rad = prb_radiance(
-                    colors, scene, ro_t, rd_t,
+                rad = prb_radiance_all(
+                    params, scene, ro_t, rd_t,
                     jax.random.fold_in(k_trace, tid), max_depth,
                 )
                 return jnp.sum(rad)
@@ -126,11 +136,11 @@ def main():
             return total / (n * 3), jnp.zeros(())
 
     @jax.jit
-    def fwd_bwd(colors, key):
-        (loss, segs), g = jax.value_and_grad(fwd, has_aux=True)(colors, key)
+    def fwd_bwd(params, key):
+        (loss, segs), g = jax.value_and_grad(fwd, has_aux=True)(params, key)
         return loss, segs, g
 
-    colors = scene.textures.color
+    bench_params = scene.textures.color if use_ad else params_of(scene)
 
     # untimed: traced-segment counts for the benchmark keys (the honest
     # rays/s numerator, identical keys to the timed passes)
@@ -145,13 +155,13 @@ def main():
 
     # compile + warmup (float() forces a real host sync; block_until_ready
     # does not block through the axon tunnel)
-    loss, segs, g = fwd_bwd(colors, jax.random.key(0))
+    loss, segs, g = fwd_bwd(bench_params, jax.random.key(0))
     float(loss)
 
     t0 = time.perf_counter()
     total_segments = 0.0
     for i in range(1, PASSES + 1):
-        loss, segs, g = fwd_bwd(colors, jax.random.key(i))
+        loss, segs, g = fwd_bwd(bench_params, jax.random.key(i))
         float(loss)
         total_segments += seg_counts[i - 1] if not use_ad else float(segs)
     dt = time.perf_counter() - t0
@@ -171,7 +181,7 @@ def main():
     print(
         f"# passes={PASSES} dt={dt:.3f}s segments={total_segments:.3e} "
         f"depth={max_depth} tile={tile} loss={float(loss):.5f} "
-        f"grad_norm={float(jnp.linalg.norm(g)):.3e}",
+        f"grad_norm={float(jnp.sqrt(sum(jnp.vdot(x, x) for x in jax.tree.leaves(g)))):.3e}",
         file=sys.stderr,
     )
 

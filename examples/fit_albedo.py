@@ -81,10 +81,14 @@ def main():
     target_keys = [jax.random.fold_in(key, 1000 + i) for i in range(n_targets)]
     targets = jnp.stack([render(true_colors, k) for k in target_keys])
 
-    # start from gray (keep the light's emission as the only known)
+    # start from gray (keep the light's emission as the only known).
+    # check_fit_init guards against black starts: a PRB-driven fit gets
+    # exactly-zero gradients on exactly-zero channels (render/prb.py).
+    from ray_tracing_tpu.render.prb import check_fit_init
+
     init = jnp.full_like(true_colors, 0.5)
     init = init.at[3].set(true_colors[3])  # emitter stays fixed below
-    colors = init
+    colors = check_fit_init(init, nudge=1e-3)
     opt = optax.adam(args.lr)
     start_step = 0
     if args.checkpoint:

@@ -32,8 +32,29 @@ def norm(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
 
+def safe_sqrt(x):
+    """sqrt(maximum(x, 0)) with a finite VJP at x <= 0.
+
+    The naive form pairs sqrt'(0) = inf with the zero cotangent of a
+    masked lane, producing NaN parameter gradients; the double-where
+    keeps the primal bit-identical while zeroing the dead branch."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_div(num, den, fallback=0.0):
+    """num / den where den != 0, else ``fallback`` — with the VJP of the
+    dead branch fully severed (no 0 * inf)."""
+    ok = den != 0.0
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), fallback)
+
+
 def normalize(a):
-    return a / jnp.maximum(norm(a)[..., None], 1e-30)
+    # double-where keeps the sqrt VJP finite on degenerate (masked) lanes:
+    # sqrt'(0) = inf would otherwise turn their zero cotangent into NaN
+    s = jnp.sum(a * a, axis=-1)
+    n = jnp.sqrt(jnp.where(s > 1e-24, s, 1.0))
+    return a / jnp.maximum(n, 1e-30)[..., None]
 
 
 def cross(a, b):
@@ -67,7 +88,10 @@ def sphere_roots(ro, rd, center, radius):
     c = dot(oc, oc) - radius * radius
     disc = half_b * half_b - c
     disc_ok = disc >= 0.0
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe_sqrt: miss lanes (disc < 0) are masked by disc_ok, but
+    # sqrt'(0) = inf times their zero cotangent would NaN reverse-mode
+    # gradients flowing through rd (e.g. d radiance / d metal fuzz)
+    sqrt_d = safe_sqrt(disc)
     return -half_b - sqrt_d, -half_b + sqrt_d, disc_ok
 
 
@@ -222,10 +246,14 @@ def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
     uk = RECT_UK[axis]
     o2 = jnp.sum(ro * uk, axis=-1)
     d2 = jnp.sum(rd * uk, axis=-1)
-    t = (k - o2) / d2
-    mask = (t >= t_min) & (t <= t_max)
-    a = jnp.sum(ro * ua, axis=-1) + t * jnp.sum(rd * ua, axis=-1)
-    b = jnp.sum(ro * ub, axis=-1) + t * jnp.sum(rd * ub, axis=-1)
+    # double-where the parallel-ray division: an unguarded inf t would
+    # NaN the VJP of the in-plane coordinates below (0 cotangent x inf)
+    d2_ok = d2 != 0.0
+    t = jnp.where(d2_ok, (k - o2) / jnp.where(d2_ok, d2, 1.0), INF)
+    t_safe = jnp.where(d2_ok, t, 0.0)
+    mask = d2_ok & (t >= t_min) & (t <= t_max)
+    a = jnp.sum(ro * ua, axis=-1) + t_safe * jnp.sum(rd * ua, axis=-1)
+    b = jnp.sum(ro * ub, axis=-1) + t_safe * jnp.sum(rd * ub, axis=-1)
     mask = mask & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
     return t, mask, a, b
 

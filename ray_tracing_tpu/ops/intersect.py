@@ -356,8 +356,8 @@ def intersect_scene(
         best_kind = jnp.where(better, kind, best_kind)
         best_idx = jnp.where(better, idx, best_idx)
 
-    # Pallas fast path for the analytic sweep: untransformed, non-medium
-    # spheres + rects go through one fused VMEM kernel on TPU
+    # Pallas fast path for the analytic sweep: spheres + rects —
+    # transformed or not — go through one fused VMEM kernel on TPU
     # (ops/pallas_intersect.py); set RAY_TPU_NO_PALLAS=1 to disable.
     use_pallas = False
     if os.environ.get("RAY_TPU_NO_PALLAS") != "1":

@@ -49,9 +49,14 @@ def _sphere_value(scene, index, tidx, p, d):
     hit = geo.sphere_t(p_o, d_o, center, radius, EPSILON, INF)
     co = center - p_o
     dist_sq = geo.dot(co, co)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - radius * radius / dist_sq, 0.0))
+    # safe_sqrt/safe_div: a sample point inside the light sphere (or at
+    # its center) makes the cone degenerate; the reference's scalar math
+    # NaNs there (sqrt of negative) — here the pdf saturates to INF so
+    # the MIS weight cleanly collapses to 0, and the guarded forms keep
+    # parameter gradients NaN-free (tests/test_lights_edges.py)
+    cos_max = geo.safe_sqrt(1.0 - geo.safe_div(radius * radius, dist_sq, INF))
     solid_angle = 2.0 * jnp.pi * (1.0 - cos_max)
-    val = jnp.where(solid_angle > 0.0, 1.0 / solid_angle, INF)
+    val = geo.safe_div(jnp.ones_like(solid_angle), solid_angle, INF)
     return jnp.where(hit.mask, val, 0.0)
 
 
@@ -81,7 +86,10 @@ def _triangle_value(scene, index, tidx, p, d):
     )
     area = 0.5 * geo.norm(jnp.cross(e12, e13))
     cosine = jnp.abs(geo.dot(d_o, normal))
-    val = jnp.where(cosine > 0.0, t * t / (cosine * area), INF)
+    # grazing-cosine pdf saturates to INF (MIS weight -> 0); safe forms
+    # keep the VJP finite on masked lanes (t may be INF there)
+    t_s = jnp.where(mask, t, 0.0)
+    val = geo.safe_div(t_s * t_s, cosine * area, INF)
     return jnp.where(mask, val, 0.0)
 
 
@@ -116,7 +124,10 @@ def _rect_value(scene, index, tidx, p, d):
     outward = geo.rect_normal(axis, rc.positive[index])
     _, normal = geo.face_normal(d_o, outward)
     cosine = jnp.abs(geo.dot(d_o, normal))
-    val = jnp.where(cosine > 0.0, t * t / (cosine * area), INF)
+    # grazing-cosine pdf saturates to INF (MIS weight -> 0); safe forms
+    # keep the VJP finite on masked lanes (t may be INF there)
+    t_s = jnp.where(mask, t, 0.0)
+    val = geo.safe_div(t_s * t_s, cosine * area, INF)
     return jnp.where(mask, val, 0.0)
 
 

@@ -167,7 +167,9 @@ def _scatter_given_tex(
     ir = mat.ir[hit.material]
     ratio = jnp.where(hit.front_face, 1.0 / jnp.maximum(ir, 1e-8), ir)
     cos_theta = -geo.dot(rd_in, n)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    # double-where: guard the sqrt VJP at |cos| = 1 (see sampling.refract)
+    s2 = 1.0 - cos_theta * cos_theta
+    sin_theta = jnp.where(s2 > 0.0, jnp.sqrt(jnp.where(s2 > 0.0, s2, 1.0)), 0.0)
     cannot_refract = (ratio * sin_theta) > 1.0
     cannot_refract = cannot_refract | (
         smp.schlick_reflectance(cos_theta, ratio) > u[:, U_DIELECTRIC]

@@ -8,11 +8,14 @@ blocks, primitive parameters sit in SMEM and the per-primitive loop is
 fully unrolled (P is a small compile-time constant), so each ray block
 is read once and only the per-ray winner (t, kind, index) is written.
 
-Eligibility (checked by the caller): no instancing transforms and no
-constant-medium primitives — those take the XLA path.  Results are
-bit-identical to the XLA kernels (same formulas, same tie-breaking);
-tests compare them directly, in interpreter mode on CPU and compiled on
-TPU.
+Eligibility: any scene with analytic primitives, transformed or not.
+When a table carries instancing transforms, each row packs its inverse
+matrix and the kernel mirrors geometry.transform_ray in-register
+(object-space test, world-space t via /nrm) — the identical math the
+XLA path applies, so results remain bit-identical to the XLA kernels
+(same formulas, same tie-breaking); tests compare them directly, in
+interpreter mode on CPU and compiled on TPU.  Constant media keep their
+own (tiny) XLA phase and never block the kernel.
 """
 
 from __future__ import annotations
@@ -35,8 +38,27 @@ EPSILON = 1e-3
 INF = np.float32(np.inf)
 
 
-def _sphere_block(ro, rd, c, r, t_min, best):
-    """One sphere vs a ray block; returns updated (t, kind, idx) best."""
+def _object_ray(ro, rd, inv, inv_t):
+    """World ray block -> one primitive's object space (the in-kernel
+    mirror of geometry.transform_ray): ro_o = inv@ro + inv_t, rd_o unit,
+    plus nrm = |inv@rd| so that world t = object t / nrm."""
+    i00, i01, i02, i10, i11, i12, i20, i21, i22 = inv
+    t0, t1, t2 = inv_t
+    rox = i00 * ro[0] + i01 * ro[1] + i02 * ro[2] + t0
+    roy = i10 * ro[0] + i11 * ro[1] + i12 * ro[2] + t1
+    roz = i20 * ro[0] + i21 * ro[1] + i22 * ro[2] + t2
+    dx = i00 * rd[0] + i01 * rd[1] + i02 * rd[2]
+    dy = i10 * rd[0] + i11 * rd[1] + i12 * rd[2]
+    dz = i20 * rd[0] + i21 * rd[1] + i22 * rd[2]
+    nrm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv_n = 1.0 / jnp.maximum(nrm, 1e-30)
+    return (rox, roy, roz), (dx * inv_n, dy * inv_n, dz * inv_n), nrm
+
+
+def _sphere_block(ro, rd, c, r, t_min, best, nrm=None):
+    """One sphere vs a ray block; returns updated (t, kind, idx) best.
+    With ``nrm`` (object-space ray norm block), roots are object-space
+    and the window/update run in world units via t_obj / nrm."""
     best_t, best_kind, best_idx, s_idx = best
     ocx = ro[0] - c[0]
     ocy = ro[1] - c[1]
@@ -48,9 +70,13 @@ def _sphere_block(ro, rd, c, r, t_min, best):
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     root1 = -half_b - sq
     root2 = -half_b + sq
-    mask1 = ok & (root1 >= t_min) & (root1 <= best_t)
-    mask2 = ok & (root2 >= t_min) & (root2 <= best_t)
+    lo = t_min if nrm is None else t_min * nrm
+    hi = best_t if nrm is None else best_t * nrm
+    mask1 = ok & (root1 >= lo) & (root1 <= hi)
+    mask2 = ok & (root2 >= lo) & (root2 <= hi)
     t = jnp.where(mask1, root1, root2)
+    if nrm is not None:
+        t = t / nrm
     better = (mask1 | mask2) & (t < best_t)
     best_t = jnp.where(better, t, best_t)
     best_kind = jnp.where(better, KIND_SPHERE, best_kind)
@@ -58,16 +84,19 @@ def _sphere_block(ro, rd, c, r, t_min, best):
     return best_t, best_kind, best_idx
 
 
-def _rect_block(ro, rd, basis, bounds, t_min, best):
+def _rect_block(ro, rd, basis, bounds, t_min, best, nrm=None):
     """One rect vs a ray block.  ``basis`` = (ua, ub, uk) each a 3-tuple
-    of scalars; ``bounds`` = (a0, a1, b0, b1, k)."""
+    of scalars; ``bounds`` = (a0, a1, b0, b1, k).  With ``nrm`` the ray
+    is already in object space and t converts back via / nrm."""
     best_t, best_kind, best_idx, r_idx = best
     ua, ub, uk = basis
     a0, a1, b0, b1, k = bounds
     o2 = ro[0] * uk[0] + ro[1] * uk[1] + ro[2] * uk[2]
     d2 = rd[0] * uk[0] + rd[1] * uk[1] + rd[2] * uk[2]
     t = (k - o2) / d2
-    mask = (t >= t_min) & (t <= best_t)
+    lo = t_min if nrm is None else t_min * nrm
+    hi = best_t if nrm is None else best_t * nrm
+    mask = (t >= lo) & (t <= hi)
     a = (ro[0] * ua[0] + ro[1] * ua[1] + ro[2] * ua[2]) + t * (
         rd[0] * ua[0] + rd[1] * ua[1] + rd[2] * ua[2]
     )
@@ -75,6 +104,8 @@ def _rect_block(ro, rd, basis, bounds, t_min, best):
         rd[0] * ub[0] + rd[1] * ub[1] + rd[2] * ub[2]
     )
     mask = mask & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
+    if nrm is not None:
+        t = t / nrm
     better = mask & (t < best_t)
     best_t = jnp.where(better, t, best_t)
     best_kind = jnp.where(better, KIND_RECT, best_kind)
@@ -82,10 +113,14 @@ def _rect_block(ro, rd, basis, bounds, t_min, best):
     return best_t, best_kind, best_idx
 
 
-def _kernel(n_spheres, n_rects,
+def _kernel(n_spheres, n_rects, sph_tf, rect_tf,
             sph_ref, rect_ref,
             rox, roy, roz, rdx, rdy, rdz,
             t_out, kind_out, idx_out):
+    """sph_tf / rect_tf are STATIC flags: when set, every row of the
+    table carries [inv(9), inv_t(3)] after its base columns (identity
+    for slot-0 prims — same uniform treatment as the XLA path when a
+    table has any transform) and the prim is tested in object space."""
     ro = (rox[:], roy[:], roz[:])
     rd = (rdx[:], rdy[:], rdz[:])
     shape = ro[0].shape
@@ -94,16 +129,33 @@ def _kernel(n_spheres, n_rects,
     best_idx = jnp.zeros(shape, jnp.int32)
 
     for s in range(n_spheres):
+        if sph_tf:
+            ro_o, rd_o, nrm = _object_ray(
+                ro, rd,
+                tuple(sph_ref[s, 4 + j] for j in range(9)),
+                tuple(sph_ref[s, 13 + j] for j in range(3)),
+            )
+        else:
+            ro_o, rd_o, nrm = ro, rd, None
         best_t, best_kind, best_idx = _sphere_block(
-            ro, rd,
+            ro_o, rd_o,
             (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]),
             sph_ref[s, 3],
             EPSILON,
             (best_t, best_kind, best_idx, s),
+            nrm=nrm,
         )
     for r in range(n_rects):
+        if rect_tf:
+            ro_o, rd_o, nrm = _object_ray(
+                ro, rd,
+                tuple(rect_ref[r, 14 + j] for j in range(9)),
+                tuple(rect_ref[r, 23 + j] for j in range(3)),
+            )
+        else:
+            ro_o, rd_o, nrm = ro, rd, None
         best_t, best_kind, best_idx = _rect_block(
-            ro, rd,
+            ro_o, rd_o,
             (
                 (rect_ref[r, 0], rect_ref[r, 1], rect_ref[r, 2]),
                 (rect_ref[r, 3], rect_ref[r, 4], rect_ref[r, 5]),
@@ -113,6 +165,7 @@ def _kernel(n_spheres, n_rects,
              rect_ref[r, 13]),
             EPSILON,
             (best_t, best_kind, best_idx, r),
+            nrm=nrm,
         )
     t_out[:] = best_t
     kind_out[:] = best_kind
@@ -122,12 +175,19 @@ def _kernel(n_spheres, n_rects,
 def pack_primitive_tables(scene: SceneData):
     """Host/trace-time packing of primitive parameters into the SMEM
     scalar tables the kernel reads: spheres (S, 4) = [cx cy cz r];
-    rects (R, 13) = [ua(3) ub(3) uk(3) a0 a1 b0 b1] with uk signed by k
-    ... actually [ua ub uk a0 a1 b0 b1 k]."""
+    rects (R, 14) = [ua(3) ub(3) uk(3) a0 a1 b0 b1 k].  When a table has
+    instancing transforms, every row is extended with [inv(9) inv_t(3)]
+    (identity for slot 0) and the kernel tests in object space — the
+    same uniform gather the XLA path does (intersect.py
+    _sphere_object_ray / _rect_object_ray)."""
     from ray_tracing_tpu.ops.geometry import RECT_UA, RECT_UB, RECT_UK
 
     sp = scene.spheres
     sph = jnp.concatenate([sp.center, sp.radius[:, None]], axis=1)
+    if sp.has_transforms:
+        inv = scene.transforms.inv[sp.transform].reshape(-1, 9)
+        inv_t = scene.transforms.inv_t[sp.transform]
+        sph = jnp.concatenate([sph, inv, inv_t], axis=1)
     rc = scene.rects
     rect = jnp.concatenate(
         [
@@ -139,6 +199,10 @@ def pack_primitive_tables(scene: SceneData):
         ],
         axis=1,
     )
+    if rc.has_transforms:
+        inv = scene.transforms.inv[rc.transform].reshape(-1, 9)
+        inv_t = scene.transforms.inv_t[rc.transform]
+        rect = jnp.concatenate([rect, inv, inv_t], axis=1)
     # Mosaic rejects zero-row SMEM operands (f32[0,k]); pad to one row —
     # the unrolled loops never read past the real count.
     if sph.shape[0] == 0:
@@ -149,19 +213,19 @@ def pack_primitive_tables(scene: SceneData):
 
 
 def pallas_eligible(scene: SceneData) -> bool:
-    """The kernel covers untransformed spheres + rects (constant media
-    live in their own table, ops/intersect.py:_medium_phase_a, so they
-    never block eligibility)."""
-    return (
-        not scene.spheres.has_transforms
-        and not scene.rects.has_transforms
-        and (scene.n_spheres + scene.n_rects) > 0
-    )
+    """The kernel covers ALL analytic primitives — spheres and rects,
+    transformed or not (constant media live in their own table,
+    ops/intersect.py:_medium_phase_a, so they never block
+    eligibility)."""
+    return (scene.n_spheres + scene.n_rects) > 0
 
 
-@functools.partial(jax.jit, static_argnames=("n_spheres", "n_rects", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_spheres", "n_rects", "sph_tf", "rect_tf", "interpret"),
+)
 def _run(sph, rect, rox, roy, roz, rdx, rdy, rdz, *, n_spheres, n_rects,
-         interpret):
+         sph_tf, rect_tf, interpret):
     rows = rox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     ray_spec = pl.BlockSpec(
@@ -169,7 +233,7 @@ def _run(sph, rect, rox, roy, roz, rdx, rdy, rdz, *, n_spheres, n_rects,
     )
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     out_shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    kernel = functools.partial(_kernel, n_spheres, n_rects)
+    kernel = functools.partial(_kernel, n_spheres, n_rects, sph_tf, rect_tf)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -208,6 +272,8 @@ def pallas_phase_a(scene: SceneData, ro, rd, interpret: bool = False):
     t, kind, idx = _run(
         sph, rect, *comps,
         n_spheres=scene.n_spheres, n_rects=scene.n_rects,
+        sph_tf=scene.spheres.has_transforms,
+        rect_tf=scene.rects.has_transforms,
         interpret=interpret,
     )
     return (

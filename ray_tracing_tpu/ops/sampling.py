@@ -14,7 +14,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ray_tracing_tpu.ops.geometry import cross, dot, normalize
+from ray_tracing_tpu.ops.geometry import (
+    cross,
+    dot,
+    normalize,
+    safe_div,
+    safe_sqrt,
+)
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -35,9 +41,12 @@ def random_to_sphere(u1, u2, radius, distance_squared):
     """Cone sample toward a sphere (reference random.rs:27-39).
     Local frame: +z points at the sphere center."""
     phi = TWO_PI * u1
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - radius * radius / distance_squared, 0.0))
+    # safe forms: sample points inside/at the sphere give a degenerate
+    # cone; keep primal identical, VJP finite (see geometry.safe_sqrt)
+    cos_max = safe_sqrt(1.0 - safe_div(radius * radius, distance_squared,
+                                       jnp.inf))
     z = 1.0 + u2 * (cos_max - 1.0)
-    xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    xy = safe_sqrt(1.0 - z * z)
     return jnp.stack([jnp.cos(phi) * xy, jnp.sin(phi) * xy, z], axis=-1)
 
 
@@ -123,8 +132,12 @@ def refract(uv, n, etai_over_etat):
     cos_theta = -dot(uv, n)
     r_out_perp = (uv + n * cos_theta[..., None]) * etai_over_etat[..., None]
     k = 1.0 - jnp.sum(r_out_perp * r_out_perp, axis=-1)
-    r_out_parallel = -n * jnp.sqrt(jnp.maximum(k, 0.0))[..., None]
-    return r_out_perp + r_out_parallel
+    # double-where: total-internal-reflection lanes (k <= 0) are selected
+    # away by the caller, but sqrt'(0)=inf times their zero cotangent
+    # would NaN reverse-mode gradients of the refraction ratio
+    k_pos = k > 0.0
+    root = jnp.where(k_pos, jnp.sqrt(jnp.where(k_pos, k, 1.0)), 0.0)
+    return r_out_perp - n * root[..., None]
 
 
 def schlick_reflectance(cosine, ref_idx):

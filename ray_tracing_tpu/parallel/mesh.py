@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ray_tracing_tpu.models.camera import Camera, sample_st
 from ray_tracing_tpu.models.scene import SceneData
@@ -60,7 +60,7 @@ def sharded_trace(scene: SceneData, ro, rd, key, max_depth: int, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=P(RAY_AXIS),
-        check_rep=False,
+        check_vma=False,
     )(scene, ro, rd, key)
 
 
@@ -96,6 +96,100 @@ def sharded_render_pass(
         )
     colors = sharded_trace(scene, ro, rd, k_trace, max_depth, mesh)
     return colors[:n].reshape(height, width, 3)
+
+
+def sharded_prb_render(
+    colors: jnp.ndarray,
+    scene: SceneData,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    mesh: Mesh,
+    compaction: bool = True,
+) -> jnp.ndarray:
+    """One 1-spp pass, ray-axis sharded, differentiable w.r.t. the color
+    table through path-replay backprop — the PRODUCTION gradient path:
+    the compacted forward runs inside each shard (dynamic trip counts
+    and all), PRB's custom_vjp replays it for the backward, and
+    shard_map's transpose inserts the cross-device psum for the
+    replicated color cotangent.  This is the multi-chip analogue of
+    bench.py's single-chip fwd+bwd."""
+    from ray_tracing_tpu.render.prb import prb_radiance
+
+    n = width * height
+    n_dev = mesh.devices.size
+    n_pad = _pad_to(n, n_dev)
+
+    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
+    st = sample_st(k_st, width, height, True)
+    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
+    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
+    ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    if n_pad != n:
+        ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                          (n_pad - n, 1))]
+        )
+
+    def shard_fn(colors, scene, ro_s, rd_s, key):
+        dev = jax.lax.axis_index(RAY_AXIS)
+        return prb_radiance(
+            colors, scene, ro_s, rd_s, jax.random.fold_in(key, dev),
+            max_depth, compaction=compaction,
+        )
+
+    rad = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(colors, scene, ro, rd, k_trace)
+    return rad[:n].reshape(height, width, 3)
+
+
+def make_prb_train_step(
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    mesh: Mesh,
+    lr: float = 0.5,
+    compaction: bool = True,
+):
+    """Data-parallel differentiable-rendering train step on the
+    production path: compacted forward + PRB backward per shard, psum'd
+    color gradients (the gradient all-reduce of BASELINE.md).
+
+    Returns ``step(scene, key, target) -> (scene', loss)``.
+    """
+
+    def loss_fn(colors, scene, key, target):
+        img = sharded_prb_render(
+            colors, scene, camera, key,
+            width=width, height=height, max_depth=max_depth, mesh=mesh,
+            compaction=compaction,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(scene, key, target):
+        loss, g = jax.value_and_grad(loss_fn)(
+            scene.textures.color, scene, key, target
+        )
+        scene = scene.replace(
+            textures=scene.textures.replace(
+                color=scene.textures.color - lr * g
+            )
+        )
+        return scene, loss
+
+    return step
 
 
 def make_train_step(

@@ -42,6 +42,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tracing_tpu.models.scene import (
     MAT_DIFFUSE_LIGHT,
@@ -56,6 +57,46 @@ from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 from ray_tracing_tpu.render.integrator import trace, trace_compacted
 
 _A_EPS = 1e-6
+
+
+def zero_cotangent(tree):
+    """Symbolic-zero cotangents for an arbitrary pytree passed through a
+    custom_vjp as a constant: float leaves get zeros, int/bool leaves
+    get float0 zeros (what JAX requires for non-differentiable dtypes)."""
+
+    def z(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+    return jax.tree.map(z, tree)
+
+
+def check_fit_init(colors, *, nudge: float | None = None):
+    """Guard a PRB fit's starting colors against the zero-albedo pin.
+
+    PRB's albedo derivative is the suffix radiance divided by the albedo
+    occurrence (module docstring), so an exactly-zero channel gets an
+    exactly-zero gradient and an optimizer initialized at black never
+    moves.  Warns on any zero channel; with ``nudge`` set, also returns
+    the colors clamped to at least that value (callers fitting from
+    dark starts should pass e.g. ``nudge=1e-3``)."""
+    import warnings
+
+    import numpy as np
+
+    c = np.asarray(colors)
+    if (c == 0.0).any():
+        warnings.warn(
+            "PRB fit initialized with exactly-zero color channel(s): "
+            "their gradients are pinned to 0 (render/prb.py zero-albedo "
+            "deviation); pass nudge= to lift them off zero.",
+            UserWarning,
+            stacklevel=2,
+        )
+    if nudge is not None:
+        return jnp.maximum(jnp.asarray(colors), nudge)
+    return colors
 
 
 class PrbParams(NamedTuple):
@@ -302,33 +343,32 @@ def prb_radiance_full(
     backprop.
 
     Forward may use the compacted loop (AD could not); backward costs
-    one replayed forward.  Scene/rays/key are treated as constants.
+    one replayed forward.  Rays/key/scene pass through the custom_vjp
+    as explicit inputs (zero cotangents) so they may be tracers of an
+    enclosing transformation — a lax.map over tiles, or a shard_map
+    body (the multi-chip path; a closed-over scene tracer would escape
+    its trace there); only ``params`` receives a real cotangent.
     """
 
-    import numpy as np
-
-    def run_fwd(p, ro, rd, keydata):
+    def run_fwd(p, sc, ro, rd, keydata):
         k = jax.random.wrap_key_data(keydata)
-        s = _with_params(scene, p)
+        s = _with_params(sc, p)
         if compaction:
             return trace_compacted(s, ro, rd, k, max_depth)
         return trace(s, ro, rd, k, max_depth)
 
-    # ro/rd/key pass through the custom_vjp as explicit inputs so they
-    # may be tracers of an enclosing transformation (e.g. a lax.map over
-    # tiles); only ``params`` receives a real cotangent.
     @jax.custom_vjp
-    def inner(p, ro, rd, keydata):
-        return run_fwd(p, ro, rd, keydata)
+    def inner(p, sc, ro, rd, keydata):
+        return run_fwd(p, sc, ro, rd, keydata)
 
-    def fwd(p, ro, rd, keydata):
-        rad = run_fwd(p, ro, rd, keydata)
-        return rad, (p, ro, rd, keydata, rad)
+    def fwd(p, sc, ro, rd, keydata):
+        rad = run_fwd(p, sc, ro, rd, keydata)
+        return rad, (p, sc, ro, rd, keydata, rad)
 
     def bwd(res, g):
-        p, ro, rd, keydata, rad = res
+        p, sc, ro, rd, keydata, rad = res
         k = jax.random.wrap_key_data(keydata)
-        s = _with_params(scene, p)
+        s = _with_params(sc, p)
         if compaction:
             (gcol, gimg, gmet), _ = prb_grad_compacted(
                 s, ro, rd, k, max_depth, rad, g
@@ -339,13 +379,14 @@ def prb_radiance_full(
             )
         return (
             PrbParams(gcol, gimg.reshape(p.images.shape), gmet),
+            zero_cotangent(sc),
             jnp.zeros_like(ro),
             jnp.zeros_like(rd),
             np.zeros((2,), jax.dtypes.float0),
         )
 
     inner.defvjp(fwd, bwd)
-    return inner(params, ro, rd, jax.random.key_data(key))
+    return inner(params, scene, ro, rd, jax.random.key_data(key))
 
 
 def prb_radiance(

@@ -1,0 +1,209 @@
+"""Forward-mode gradients for the scalar material parameters.
+
+The color-linear parameters (solid colors, atlas texels, metal albedo)
+get exact reverse-mode gradients from one path replay (render/prb.py).
+The two *scalar* parameters — metal fuzz and dielectric refraction
+index (reference metal.rs:31-46, dielectric.rs:39-50) — are different
+in kind: they bend the scattered *direction* rather than scale the
+throughput, so their derivative flows through every downstream
+intersection and no linearity trick applies.
+
+The TPU-native answer is forward-mode AD.  A JVP needs no transpose, so
+— unlike reverse-mode — it differentiates straight through the
+compacted trace's dynamic-trip-count ``while_loop``; the fast forward
+path stays usable.  The whole backward is ONE fused replay: the PRB
+color-gradient replay (render/prb.py) is the differentiated function,
+its primal side produces the color/texel/metal gradients, and
+``jax.jacfwd`` pushes a batched tangent stream per active scalar (one
+fuzz per metal row, one IR per dielectric row) through the same pass —
+intersections and compaction sorts are computed once and shared across
+all parameters.  The dielectric's stochastic reflect/refract branch is
+treated as fixed under differentiation (reparameterized gradient; the
+branch-probability term is dropped) — identical to what reverse-mode AD
+of the dense loop computes, so the two agree to float tolerance.
+
+``prb_radiance_all`` is the full-parameter entry point: one function,
+differentiable w.r.t. *every* scene parameter the framework exposes,
+with the compacted forward on both the primal and every replay.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracing_tpu.models.scene import (
+    MAT_DIELECTRIC,
+    MAT_METAL,
+    SceneData,
+)
+from ray_tracing_tpu.render.integrator import trace, trace_compacted
+from ray_tracing_tpu.render.prb import (
+    PrbParams,
+    prb_grad_compacted,
+    prb_grad_dense,
+    zero_cotangent,
+)
+
+
+class ScalarParams(NamedTuple):
+    """The direction-bending scalar parameter set."""
+
+    fuzz: jnp.ndarray  # (M,) = scene.materials.fuzz
+    ir: jnp.ndarray  # (M,) = scene.materials.ir
+
+
+class AllParams(NamedTuple):
+    """Every differentiable scene parameter, in one pytree."""
+
+    color: jnp.ndarray  # (T, 3) solid-color table
+    images: jnp.ndarray  # (I, H, W, 3) texture atlas
+    metal_albedo: jnp.ndarray  # (M, 3)
+    fuzz: jnp.ndarray  # (M,)
+    ir: jnp.ndarray  # (M,)
+
+
+def params_of(scene: SceneData) -> AllParams:
+    """The current parameter values of a compiled scene."""
+    return AllParams(
+        color=scene.textures.color,
+        images=scene.textures.images,
+        metal_albedo=scene.materials.albedo,
+        fuzz=scene.materials.fuzz,
+        ir=scene.materials.ir,
+    )
+
+
+def _with_all(scene: SceneData, p: AllParams) -> SceneData:
+    return scene.replace(
+        textures=scene.textures.replace(color=p.color, images=p.images),
+        materials=scene.materials.replace(
+            albedo=p.metal_albedo, fuzz=p.fuzz, ir=p.ir
+        ),
+    )
+
+
+def _active_rows(scene: SceneData):
+    """Material rows whose fuzz / ir actually matter (metal / dielectric
+    rows).  Needs concrete material types: the scene must be a real
+    compiled scene, not a tracer — which is how every call site uses it
+    (the scene is closed over; only parameters flow through traced
+    code)."""
+    mtype = np.asarray(scene.materials.mtype)
+    return (
+        np.nonzero(mtype == MAT_METAL)[0],
+        np.nonzero(mtype == MAT_DIELECTRIC)[0],
+    )
+
+
+def prb_radiance_all(
+    params: AllParams,
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    *,
+    compaction: bool = True,
+):
+    """Per-ray radiance, differentiable w.r.t. the full parameter set.
+
+    Backward = one reverse path replay (color-linear parameters, exact)
+    plus one forward tangent replay per active scalar parameter.  The
+    compacted loop is used throughout when ``compaction`` is on; nothing
+    ever falls back to dense reverse-mode AD.
+    """
+    fuzz_rows, ir_rows = _active_rows(scene)
+    n_f, n_i = len(fuzz_rows), len(ir_rows)
+    n_scalars = n_f + n_i
+    fuzz_rows_j = jnp.asarray(fuzz_rows, jnp.int32)
+    ir_rows_j = jnp.asarray(ir_rows, jnp.int32)
+
+    def run_fwd(p, sc, ro, rd, keydata):
+        k = jax.random.wrap_key_data(keydata)
+        s = _with_all(sc, p)
+        if compaction:
+            return trace_compacted(s, ro, rd, k, max_depth)
+        return trace(s, ro, rd, k, max_depth)
+
+    # the scene passes through the custom_vjp as an explicit input with
+    # zero cotangents so it may be a tracer of an enclosing shard_map /
+    # lax.map (only the static row indices come from the concrete scene)
+    @jax.custom_vjp
+    def inner(p, sc, ro, rd, keydata):
+        return run_fwd(p, sc, ro, rd, keydata)
+
+    def fwd(p, sc, ro, rd, keydata):
+        rad = run_fwd(p, sc, ro, rd, keydata)
+        return rad, (p, sc, ro, rd, keydata, rad)
+
+    def bwd(res, g):
+        p, sc, ro, rd, keydata, rad = res
+        k = jax.random.wrap_key_data(keydata)
+        replay_fn = prb_grad_compacted if compaction else prb_grad_dense
+
+        # ONE fused replay: its primal radiance prefix-sums produce the
+        # color-linear gradients (PRB), and jacfwd pushes one batched
+        # tangent stream per active scalar through the same pass — the
+        # intersections/sorts are computed once and shared, so the whole
+        # backward costs a single traversal regardless of parameter
+        # count.  (The replayed radiance is the same function of theta
+        # as the forward — same keys, same schedule — so its tangent is
+        # the estimator's derivative.)
+        def replay(theta):
+            fuzz = p.fuzz.at[fuzz_rows_j].set(theta[:n_f])
+            ir = p.ir.at[ir_rows_j].set(theta[n_f:])
+            s = _with_all(sc, p._replace(fuzz=fuzz, ir=ir))
+            gacc, rad_replay = replay_fn(s, ro, rd, k, max_depth, rad, g)
+            return jnp.vdot(g, rad_replay), gacc
+
+        gfuzz = jnp.zeros_like(p.fuzz)
+        gir = jnp.zeros_like(p.ir)
+        theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
+        if n_scalars:
+            gtheta, (gcol, gimg, gmet) = jax.jacfwd(replay, has_aux=True)(
+                theta0
+            )
+            gfuzz = gfuzz.at[fuzz_rows_j].set(gtheta[:n_f])
+            gir = gir.at[ir_rows_j].set(gtheta[n_f:])
+        else:
+            _, (gcol, gimg, gmet) = replay(theta0)
+
+        return (
+            AllParams(
+                color=gcol,
+                images=gimg.reshape(p.images.shape),
+                metal_albedo=gmet,
+                fuzz=gfuzz,
+                ir=gir,
+            ),
+            zero_cotangent(sc),
+            jnp.zeros_like(ro),
+            jnp.zeros_like(rd),
+            np.zeros((2,), jax.dtypes.float0),
+        )
+
+    inner.defvjp(fwd, bwd)
+    return inner(params, scene, ro, rd, jax.random.key_data(key))
+
+
+def scalar_radiance(
+    params: ScalarParams,
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    *,
+    compaction: bool = True,
+):
+    """Scalars-only convenience wrapper over ``prb_radiance_all``."""
+    full = params_of(scene)._replace(fuzz=params.fuzz, ir=params.ir)
+
+    rad = prb_radiance_all(
+        full, scene, ro, rd, key, max_depth, compaction=compaction
+    )
+    return rad

@@ -32,10 +32,71 @@ def test_zy_scene_is_eligible():
     assert pallas_eligible(scene)
 
 
-def test_scene_json_not_eligible():
-    # transformed cuboid rects + medium sphere -> XLA path
+def test_scene_json_is_eligible():
+    # transformed cuboid rects + medium sphere: transforms ride in the
+    # kernel's SMEM rows and media keep their own XLA phase, so the
+    # Pallas sweep now covers every analytic-primitive scene
     scene = load_scene_json("data/scene.json").scene
-    assert not pallas_eligible(scene)
+    assert pallas_eligible(scene)
+
+
+def _transformed_scene():
+    from ray_tracing_tpu import SceneBuilder
+
+    b = SceneBuilder(background=(0.5, 0.6, 0.7))
+    m = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
+    th = np.deg2rad(31.0)
+    rot_y = np.array(
+        [
+            [np.cos(th), 0.0, np.sin(th)],
+            [0.0, 1.0, 0.0],
+            [-np.sin(th), 0.0, np.cos(th)],
+        ]
+    )
+    scale = np.diag([1.4, 0.8, 1.0])
+    b.add_cuboid((100, 0, 100), (260, 180, 260), m,
+                 transform=(rot_y, np.array([40.0, 0.0, 30.0])))
+    b.add_sphere((400, 90, 300), 90, m,
+                 transform=(rot_y @ scale, np.array([-20.0, 10.0, 0.0])))
+    b.add_sphere((150, 380, 200), 60, m)  # identity slot in the same table
+    b.add_rect("zx", 0, 555, 0, 555, 0, m, positive=True)
+    return b.build()
+
+
+def test_pallas_matches_xla_phase_a_transformed():
+    """Instancing transforms in-kernel: winner (t, kind, idx) must match
+    the XLA object-space path on a scene mixing transformed cuboid
+    rects, a scaled+rotated sphere, and identity primitives."""
+    scene = _transformed_scene()
+    assert scene.spheres.has_transforms and scene.rects.has_transforms
+    ro, rd = _rays(1024, seed=7)
+
+    t_p, kind_p, idx_p = pallas_phase_a(scene, ro, rd, interpret=True)
+
+    os.environ["RAY_TPU_NO_PALLAS"] = "1"
+    try:
+        hit = intersect_scene(scene, ro, rd, 1e-3, jnp.inf, None)
+    finally:
+        del os.environ["RAY_TPU_NO_PALLAS"]
+
+    kind_p = np.asarray(kind_p)
+    mask_p = kind_p >= 0
+    np.testing.assert_array_equal(mask_p, np.asarray(hit.mask))
+    np.testing.assert_array_equal(kind_p[mask_p], np.asarray(hit.kind)[mask_p])
+    np.testing.assert_array_equal(
+        np.asarray(idx_p)[mask_p], np.asarray(hit.index)[mask_p]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_p)[mask_p], np.asarray(hit.t)[mask_p], rtol=1e-4,
+    )
+    # the winners must span transformed AND identity prims of both types
+    idx_p = np.asarray(idx_p)
+    sph_idx = set(idx_p[mask_p & (kind_p == 0)].tolist())
+    rect_idx = set(idx_p[mask_p & (kind_p == 2)].tolist())
+    assert {0, 1} <= sph_idx  # transformed + identity sphere
+    assert len([i for i in rect_idx if i < 6]) >= 2  # cuboid faces
+    assert 6 in rect_idx  # identity floor
+    assert mask_p.sum() > 100
 
 
 def test_pallas_matches_xla_phase_a():
