@@ -40,8 +40,11 @@ PASSES = 3
 # (observed repeatedly this round).  The orchestrator below runs the
 # fast PRB-gradient benchmark in a subprocess with a timeout and falls
 # back to the smaller (reliably-compiling) AD program, so the recorded
-# bench never silently hangs.
-PRB_TIMEOUT_S = 540
+# bench never silently hangs.  The persistent compilation cache
+# (utils/cache.py) makes the big compile a one-time cost: any run after
+# a single successful compile starts in seconds, so the PRB timeout only
+# matters on a completely cold cache.
+PRB_TIMEOUT_S = 1500
 AD_TIMEOUT_S = 1200
 
 
@@ -79,6 +82,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from ray_tracing_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from ray_tracing_tpu import load_scene_json
     from ray_tracing_tpu.models.camera import Camera, sample_st

@@ -68,6 +68,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from ray_tracing_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from ray_tracing_tpu import Renderer, RenderResult, load_scene_json
     from ray_tracing_tpu.utils.checkpoint import load_render, save_render
     from ray_tracing_tpu.utils.image import save_image

@@ -119,8 +119,13 @@ def prb_radiance_all(
     fuzz_rows, ir_rows = _active_rows(scene)
     n_f, n_i = len(fuzz_rows), len(ir_rows)
     n_scalars = n_f + n_i
-    fuzz_rows_j = jnp.asarray(fuzz_rows, jnp.int32)
-    ir_rows_j = jnp.asarray(ir_rows, jnp.int32)
+    # keep the row indices as NUMPY: jnp.asarray with a dtype cast runs a
+    # traced convert_element_type, so calling this inside a lax.map /
+    # shard_map body would bake that trace's tracer into bwd's closure —
+    # bwd is traced later (scan transpose) and the tracer would leak as
+    # an un-lowerable jaxpr constant.  numpy indices are always concrete.
+    fuzz_rows_j = np.asarray(fuzz_rows, np.int32)
+    ir_rows_j = np.asarray(ir_rows, np.int32)
 
     def run_fwd(p, sc, ro, rd, keydata):
         k = jax.random.wrap_key_data(keydata)

@@ -252,3 +252,39 @@ def test_ir_compacted_matches_dense_statistically():
     assert sig.any(), "no IR signal"
     rel = np.abs(gi_c - gi_d)[sig] / np.abs(gi_d)[sig]
     assert np.median(rel) < 0.5, (gi_d, gi_c)
+
+
+def test_all_params_grad_through_lax_map_tiles():
+    """bench.py tiles rays with jax.lax.map and differentiates through
+    it; prb_radiance_all must be safe to call inside the map body (its
+    custom_vjp bwd is traced during the scan transpose, so nothing from
+    the map-body trace may hide in bwd's closure — regression for the
+    jnp.asarray-row-index tracer leak).  A one-tile map must equal the
+    unmapped call exactly."""
+    scene = _cornell()
+    ro, rd = _rays(1024, seed=7)
+    key = jax.random.key(9)
+    params = params_of(scene)
+
+    def single(p):
+        return jnp.sum(prb_radiance_all(p, scene, ro, rd, key, 6))
+
+    def one_tile_map(p):
+        ro_t = ro.reshape(1, -1, 3)
+        rd_t = rd.reshape(1, -1, 3)
+
+        def ts(args):
+            ro_s, rd_s, _ = args
+            return jnp.sum(prb_radiance_all(p, scene, ro_s, rd_s, key, 6))
+
+        return jnp.sum(jax.lax.map(ts, (ro_t, rd_t, jnp.arange(1))))
+
+    l1, g1 = jax.jit(jax.value_and_grad(single))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(one_tile_map))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for name, a, b in zip(AllParams._fields, g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-8, err_msg=name
+        )
+    assert np.abs(np.asarray(g1.fuzz)).sum() > 1e-4
+    assert np.abs(np.asarray(g1.ir)).sum() > 1e-4

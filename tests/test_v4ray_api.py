@@ -155,3 +155,27 @@ def test_important_light_via_api():
     )
     data = scene.compile()
     assert data.n_lights == 1
+
+
+def test_medium_generic_boundaries_via_api():
+    """ConstantMedium over cuboid / rect / mesh boundaries (reference
+    constant_medium.rs is generic over the inner Hittable)."""
+    import v4ray_tpu as v4ray
+
+    scene = v4ray.Scene(background=(1, 1, 1))
+    iso = v4ray.material.Isotropic(v4ray.texture.SolidColor((1, 1, 1)))
+    scene.add(
+        v4ray.shape.ConstantMedium(
+            v4ray.shape.Cuboid((0, 0, 0), (1, 1, 1)), 0.2), iso
+    )
+    scene.add(
+        v4ray.shape.ConstantMedium(
+            v4ray.shape.XYRect(0, 1, 0, 1, -2.0), 0.4), iso
+    )
+    scene.add(
+        v4ray.shape.ConstantMedium(
+            v4ray.shape.Triangle([[0, 0, 0], [1, 0, 0], [0, 1, 0]]), 0.1),
+        iso,
+    )
+    data = scene.compile()
+    assert data.n_medium == 3

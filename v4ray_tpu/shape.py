@@ -121,21 +121,38 @@ class Cuboid:
 
 
 class ConstantMedium:
-    """reference src/hittable/constant_medium.rs (sphere boundary)."""
+    """reference src/hittable/constant_medium.rs — generic over any
+    inner shape (sphere, rect, cuboid, triangle, mesh), matching the
+    Rust `ConstantMedium<O>`'s `Hittable`-generic boundary."""
 
-    def __init__(self, sphere: Sphere, density: float):
-        if not isinstance(sphere, Sphere):
-            raise NotImplementedError(
-                "constant-medium is supported over sphere boundaries"
-            )
-        self.sphere = sphere
+    def __init__(self, boundary, density: float):
+        self.boundary = boundary
         self.density = float(density)
 
     def _build(self, b, material: int, important: bool) -> None:
-        if important:
-            print("importance sampling on unsupported shape!")
-        b.add_sphere(self.sphere.center, self.sphere.radius, material,
-                     medium_density=self.density)
+        s = self.boundary
+        kw = {"important": important}
+        if isinstance(s, Sphere):
+            b.add_medium(self.density, material,
+                         spheres=[(s.center, s.radius)], **kw)
+        elif isinstance(s, _Rect):
+            b.add_medium(self.density, material,
+                         rects=[(s.axis, s.a0, s.a1, s.b0, s.b1, s.k)], **kw)
+        elif isinstance(s, Cuboid):
+            b.add_medium(self.density, material,
+                         cuboids=[(s.p0, s.p1)], **kw)
+        elif isinstance(s, Triangle):
+            b.add_medium(self.density, material,
+                         triangles=s.vertices[None], **kw)
+        elif isinstance(s, Mesh):
+            from ray_tracing_tpu.models.mesh import load_triangles
+
+            pts, _, _ = load_triangles(s.file, s.model)
+            b.add_medium(self.density, material, triangles=pts, **kw)
+        else:
+            raise TypeError(
+                f"unsupported constant-medium boundary {type(s).__name__}"
+            )
 
 
 class Mesh:
