@@ -28,6 +28,35 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+# Row gathers `tab[idx]` from small scene tables are a TPU trap twice
+# over: XLA lowers them as standalone gather kernels (no fusion with the
+# consumer), and it assigns the (N, 3) output the row-major
+# {1,0:T(8,128)} layout whose lane axis is the SIZE-3 one — padded
+# 3 -> 128, a 42x HBM blowup per materialized array (profiled: ~0.1 ms
+# per lookup per 65k-ray bounce, ~50 ms/pass on zy_scene).  For tables
+# of at most TAKE_ONEHOT_MAX rows the one-hot select-sum below is pure
+# elementwise+reduce, so it fuses into the consumer and the (N, M[, C])
+# intermediate never touches HBM.  The selected value is returned
+# EXACTLY (each index matches one row; summing one selected float is
+# exact), so this is a layout/fusion rewrite, not a numerical change.
+TAKE_ONEHOT_MAX = 32
+
+
+def take_rows(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``tab[idx]`` for a (M, ...) table and (...,) int indices, lowered
+    fusably (one-hot select-sum) when M <= TAKE_ONEHOT_MAX."""
+    m = tab.shape[0]
+    if m == 0 or m > TAKE_ONEHOT_MAX:
+        return tab[idx]
+    oh = idx[..., None] == jnp.arange(m, dtype=idx.dtype)  # (..., M)
+    trail = tab.ndim - 1
+    oh = oh.reshape(oh.shape + (1,) * trail)  # (..., M, 1*trail)
+    t = tab.reshape((1,) * idx.ndim + tab.shape)
+    if tab.dtype == jnp.bool_:
+        return jnp.any(oh & t, axis=idx.ndim)
+    return jnp.sum(jnp.where(oh, t, 0), axis=idx.ndim, dtype=tab.dtype)
+
+
 def norm(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
@@ -241,9 +270,9 @@ def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
     params in the variant's own (a0,a1,b0,b1,k) order.  Returns
     (t, mask, a, b) where (a, b) are the in-plane hit coordinates.
     """
-    ua = RECT_UA[axis]  # (..., 3)
-    ub = RECT_UB[axis]
-    uk = RECT_UK[axis]
+    ua = take_rows(RECT_UA, axis)  # (..., 3)
+    ub = take_rows(RECT_UB, axis)
+    uk = take_rows(RECT_UK, axis)
     o2 = jnp.sum(ro * uk, axis=-1)
     d2 = jnp.sum(rd * uk, axis=-1)
     # double-where the parallel-ray division: an unguarded inf t would
@@ -261,7 +290,7 @@ def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
 def rect_normal(axis, positive):
     """Outward normal of a rect variant before face flipping."""
     sign = jnp.where(positive, 1.0, -1.0)
-    return RECT_UK[axis] * sign[..., None]
+    return take_rows(RECT_UK, axis) * sign[..., None]
 
 
 def aabb_hit(ro, rd_inv, bb_min, bb_max, t_min, t_max):

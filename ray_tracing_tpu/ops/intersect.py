@@ -29,6 +29,7 @@ from flax import struct
 
 from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.ops import geometry as geo
+from ray_tracing_tpu.ops.geometry import take_rows
 
 INF = jnp.inf
 
@@ -87,14 +88,14 @@ def _sphere_phase_a(scene: SceneData, ro, rd, t_min, t_max):
 def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
     """Full record for one gathered sphere per ray; idx: (N,)."""
     sp = scene.spheres
-    center = sp.center[idx]  # (N, 3)
-    radius = sp.radius[idx]
+    center = take_rows(sp.center, idx)  # (N, 3)
+    radius = take_rows(sp.radius, idx)
     if sp.has_transforms:
-        tr = sp.transform[idx]
-        inv = scene.transforms.inv[tr]
-        inv_t = scene.transforms.inv_t[tr]
-        fwd = scene.transforms.fwd[tr]
-        fwd_t = scene.transforms.fwd_t[tr]
+        tr = take_rows(sp.transform, idx)
+        inv = take_rows(scene.transforms.inv, tr)
+        inv_t = take_rows(scene.transforms.inv_t, tr)
+        fwd = take_rows(scene.transforms.fwd, tr)
+        fwd_t = take_rows(scene.transforms.fwd_t, tr)
         ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro, rd)
         t_min_o, t_max_o = t_min * nrm, t_max * nrm
     else:
@@ -205,17 +206,17 @@ def _rect_phase_a(scene: SceneData, ro, rd, t_min, t_max):
 
 def _rect_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
     rc = scene.rects
-    axis = rc.axis[idx]
-    a0, a1 = rc.a0[idx], rc.a1[idx]
-    b0, b1 = rc.b0[idx], rc.b1[idx]
-    k = rc.k[idx]
-    positive = rc.positive[idx]
+    axis = take_rows(rc.axis, idx)
+    a0, a1 = take_rows(rc.a0, idx), take_rows(rc.a1, idx)
+    b0, b1 = take_rows(rc.b0, idx), take_rows(rc.b1, idx)
+    k = take_rows(rc.k, idx)
+    positive = take_rows(rc.positive, idx)
     if rc.has_transforms:
-        tr = rc.transform[idx]
-        inv = scene.transforms.inv[tr]
-        inv_t = scene.transforms.inv_t[tr]
-        fwd = scene.transforms.fwd[tr]
-        fwd_t = scene.transforms.fwd_t[tr]
+        tr = take_rows(rc.transform, idx)
+        inv = take_rows(scene.transforms.inv, tr)
+        inv_t = take_rows(scene.transforms.inv_t, tr)
+        fwd = take_rows(scene.transforms.fwd, tr)
+        fwd_t = take_rows(scene.transforms.fwd_t, tr)
         ro_o, rd_o, nrm = geo.transform_ray(inv, inv_t, ro, rd)
         t_min_o, t_max_o = t_min * nrm, t_max * nrm
     else:
@@ -419,13 +420,13 @@ def intersect_scene(
 
     if scene.n_spheres:
         rec = _sphere_phase_b(scene, ro, rd, t_min, t_max, best_idx)
-        merge(KIND_SPHERE, rec, scene.spheres.material[best_idx])
+        merge(KIND_SPHERE, rec, take_rows(scene.spheres.material, best_idx))
     if scene.n_triangles:
         rec = _triangle_phase_b(scene, ro, rd, t_min, t_max, best_idx)
-        merge(KIND_TRIANGLE, rec, scene.triangles.material[best_idx])
+        merge(KIND_TRIANGLE, rec, take_rows(scene.triangles.material, best_idx))
     if scene.n_rects:
         rec = _rect_phase_b(scene, ro, rd, t_min, t_max, best_idx)
-        merge(KIND_RECT, rec, scene.rects.material[best_idx])
+        merge(KIND_RECT, rec, take_rows(scene.rects.material, best_idx))
     if scene.n_medium:
         # reference constant_medium.rs:77-84: fixed +x normal, front
         # face true, uv zero; p follows from the world-space ray
@@ -435,7 +436,7 @@ def intersect_scene(
         normal = jnp.where(sel[:, None], med_n, normal)
         uv = jnp.where(sel[:, None], 0.0, uv)
         front_face = jnp.where(sel, True, front_face)
-        material = jnp.where(sel, scene.media.material[best_idx], material)
+        material = jnp.where(sel, take_rows(scene.media.material, best_idx), material)
 
     return Hit(
         p=p,

@@ -24,6 +24,7 @@ from ray_tracing_tpu.models.scene import (
     SceneData,
 )
 from ray_tracing_tpu.ops import geometry as geo
+from ray_tracing_tpu.ops.geometry import take_rows
 from ray_tracing_tpu.ops import sampling as smp
 
 EPSILON = geo.EPSILON
@@ -139,9 +140,9 @@ def _rect_generate(scene, index, tidx, p, u1, u2):
     b = rc.b0[index] + u2 * (rc.b1[index] - rc.b0[index])
     k = jnp.broadcast_to(rc.k[index], a.shape)
     point = (
-        geo.RECT_UA[axis] * a[..., None]
-        + geo.RECT_UB[axis] * b[..., None]
-        + geo.RECT_UK[axis] * k[..., None]
+        take_rows(geo.RECT_UA, axis) * a[..., None]
+        + take_rows(geo.RECT_UB, axis) * b[..., None]
+        + take_rows(geo.RECT_UK, axis) * k[..., None]
     )
     d_o = geo.normalize(point - p_o)
     if tidx != 0:

@@ -24,6 +24,7 @@ from ray_tracing_tpu.models.scene import (
     SceneData,
 )
 from ray_tracing_tpu.ops import geometry as geo
+from ray_tracing_tpu.ops.geometry import take_rows
 from ray_tracing_tpu.ops import sampling as smp
 from ray_tracing_tpu.ops.intersect import Hit
 from ray_tracing_tpu.ops.lights import lights_generate, lights_value
@@ -55,12 +56,12 @@ def emitted_color(scene: SceneData, hit: Hit) -> jnp.ndarray:
     """Emission at a hit.  Only diffuse-light emits, one-sided
     (reference diffuse_light.rs:18-23)."""
     mat = scene.materials
-    tex = texture_value(scene.textures, mat.tex[hit.material], hit.uv, hit.p)
+    tex = texture_value(scene.textures, take_rows(mat.tex, hit.material), hit.uv, hit.p)
     return _emitted_given_tex(scene, hit, tex)
 
 
 def _emitted_given_tex(scene: SceneData, hit: Hit, tex: jnp.ndarray) -> jnp.ndarray:
-    mtype = scene.materials.mtype[hit.material]
+    mtype = take_rows(scene.materials.mtype, hit.material)
     is_light = (mtype == MAT_DIFFUSE_LIGHT) & hit.front_face
     return jnp.where(is_light[..., None], tex, 0.0)
 
@@ -85,7 +86,7 @@ def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
     from ray_tracing_tpu.ops.textures import image_texel_index, resolve_leaf
 
     tex = texture_value(
-        scene.textures, scene.materials.tex[hit.material], hit.uv, hit.p
+        scene.textures, take_rows(scene.materials.tex, hit.material), hit.uv, hit.p
     )
     out = (
         _emitted_given_tex(scene, hit, tex),
@@ -94,10 +95,10 @@ def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
     if not with_aux:
         return out
     tt = scene.textures
-    leaf = resolve_leaf(tt, scene.materials.tex[hit.material], hit.p)
+    leaf = resolve_leaf(tt, take_rows(scene.materials.tex, hit.material), hit.p)
     if tt.images.shape[0] > 0:
-        leaf_is_image = tt.ttype[leaf] == TEX_IMAGE
-        img = tt.image[leaf]
+        leaf_is_image = take_rows(tt.ttype, leaf) == TEX_IMAGE
+        img = take_rows(tt.image, leaf)
         j, i = image_texel_index(tt, img, hit.uv)
         hmax, wmax = tt.images.shape[1], tt.images.shape[2]
         texel = (img * hmax + j) * wmax + i
@@ -106,7 +107,7 @@ def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
         texel = jnp.zeros(leaf.shape, jnp.int32)
     aux = ShadeAux(
         leaf_tex=leaf,
-        leaf_is_solid=tt.ttype[leaf] == TEX_SOLID,
+        leaf_is_solid=take_rows(tt.ttype, leaf) == TEX_SOLID,
         tex_value=tex,
         leaf_is_image=leaf_is_image,
         texel=texel,
@@ -123,7 +124,7 @@ def scatter(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray) -> S
     p_material / p_mixture; Specular materials pass attenuation through.
     """
     tex = texture_value(
-        scene.textures, scene.materials.tex[hit.material], hit.uv, hit.p
+        scene.textures, take_rows(scene.materials.tex, hit.material), hit.uv, hit.p
     )
     return _scatter_given_tex(scene, hit, rd_in, u, tex)
 
@@ -132,7 +133,7 @@ def _scatter_given_tex(
     scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray, tex: jnp.ndarray
 ) -> Scatter:
     mat = scene.materials
-    mtype = mat.mtype[hit.material]
+    mtype = take_rows(mat.mtype, hit.material)
     n = hit.normal
 
     # --- lambertian (the only ScatterRecord::Scatter material,
@@ -159,12 +160,12 @@ def _scatter_given_tex(
     reflected = smp.reflect(rd_in, n)
     fuzz_vec = smp.random_in_unit_sphere(u[:, U_FUZZ_1], u[:, U_FUZZ_2], u[:, U_FUZZ_3])
     metal_dir = geo.normalize(
-        reflected + fuzz_vec * mat.fuzz[hit.material][..., None]
+        reflected + fuzz_vec * take_rows(mat.fuzz, hit.material)[..., None]
     )
-    metal_coef = mat.albedo[hit.material]
+    metal_coef = take_rows(mat.albedo, hit.material)
 
     # --- dielectric (reference dielectric.rs:33-60) ---
-    ir = mat.ir[hit.material]
+    ir = take_rows(mat.ir, hit.material)
     ratio = jnp.where(hit.front_face, 1.0 / jnp.maximum(ir, 1e-8), ir)
     cos_theta = -geo.dot(rd_in, n)
     # double-where: guard the sqrt VJP at |cos| = 1 (see sampling.refract)

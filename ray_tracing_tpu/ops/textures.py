@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ray_tracing_tpu.ops.geometry import take_rows
+
 from ray_tracing_tpu.models.scene import (
     TEX_CHECKER,
     TEX_IMAGE,
@@ -96,7 +98,7 @@ def image_texel_index(tt: TextureTable, img_idx, uv):
     (reference image.rs:26-48)."""
     u = jnp.clip(uv[..., 0], 0.0, 1.0)
     v = 1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)
-    dims = tt.image_dims[img_idx]  # (..., 2) = (h, w)
+    dims = take_rows(tt.image_dims, img_idx)  # (..., 2) = (h, w)
     h = dims[..., 0]
     w = dims[..., 1]
     i = jnp.minimum((w.astype(jnp.float32) * u).astype(jnp.int32), w - 1)
@@ -115,10 +117,10 @@ def resolve_leaf(tt: TextureTable, idx, p):
     (reference checker.rs:31-38 selects a sub-texture by
     sin(d x) sin(d y) sin(d z) sign)."""
     for _ in range(max(tt.max_checker_depth, 1)):
-        is_checker = tt.ttype[idx] == TEX_CHECKER
-        d = tt.density[idx][..., None] * p  # (..., 3)
+        is_checker = take_rows(tt.ttype, idx) == TEX_CHECKER
+        d = take_rows(tt.density, idx)[..., None] * p  # (..., 3)
         sines = jnp.sin(d[..., 0]) * jnp.sin(d[..., 1]) * jnp.sin(d[..., 2])
-        child = jnp.where(sines > 0.0, tt.child_even[idx], tt.child_odd[idx])
+        child = jnp.where(sines > 0.0, take_rows(tt.child_even, idx), take_rows(tt.child_odd, idx))
         idx = jnp.where(is_checker, child, idx)
     return idx
 
@@ -129,8 +131,8 @@ def texture_value(tt: TextureTable, idx, uv, p):
     idx: (...,) i32, uv: (..., 2), p: (..., 3) -> (..., 3) color.
     """
     idx = resolve_leaf(tt, idx, p)
-    ttype = tt.ttype[idx]
-    out = tt.color[idx]  # TEX_SOLID default (reference solid_color.rs:21-28)
+    ttype = take_rows(tt.ttype, idx)
+    out = take_rows(tt.color, idx)  # TEX_SOLID default (reference solid_color.rs:21-28)
 
     # The expensive families are gated with lax.cond on "does any ray in
     # this block actually need it": atlas point-gathers cost ~2 ms per
@@ -140,7 +142,7 @@ def texture_value(tt: TextureTable, idx, uv, p):
         is_img = ttype == TEX_IMAGE
         img = jax.lax.cond(
             jnp.any(is_img),
-            lambda: image_value(tt, tt.image[idx], uv),
+            lambda: image_value(tt, take_rows(tt.image, idx), uv),
             lambda: jnp.zeros(uv.shape[:-1] + (3,), jnp.float32),
         )
         out = jnp.where(is_img[..., None], img, out)
@@ -151,8 +153,8 @@ def texture_value(tt: TextureTable, idx, uv, p):
             jnp.any(is_noise),
             lambda: perlin_turb(
                 tt,
-                tt.scale[idx][..., None] * p + tt.noise_offset[idx],
-                tt.noise_depth[idx],
+                take_rows(tt.scale, idx)[..., None] * p + take_rows(tt.noise_offset, idx),
+                take_rows(tt.noise_depth, idx),
                 tt.max_noise_depth,
             ),
             lambda: jnp.zeros(p.shape[:-1], jnp.float32),

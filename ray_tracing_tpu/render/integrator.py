@@ -121,6 +121,49 @@ def trace(
     return rad
 
 
+def stage_schedule(max_depth: int, stage_bounces: int) -> list:
+    """Bounce counts per compaction stage.
+
+    Early stages are ``stage_bounces`` wide; after two sorts the
+    wavefront is nearly dead (zy_scene: <5% alive past bounce 8), so all
+    remaining bounces run as ONE tail stage — each extra sort pass
+    (argsort + 6 full-width gathers, ~2 ms per 65k-ray tile on TPU) was
+    costing more than the dead-lane work it saved.  The early-exit
+    while_loops below make long tail stages cheap: an all-dead chunk
+    stops bouncing immediately, which is output-identical (dead lanes
+    change nothing and consume no radiance-affecting randomness).
+
+    Shared by trace_compacted and render/prb.py's replay — the two MUST
+    walk the same schedule for path replay to reproduce the forward.
+    """
+    sizes = []
+    left = max_depth
+    while left > 0 and len(sizes) < 2:
+        sizes.append(min(stage_bounces, left))
+        left -= sizes[-1]
+    if left > 0:
+        sizes.append(left)
+    return sizes
+
+
+def bounded_bounce_loop(bounces: int, body, carry, alive_of):
+    """fori_loop(0, bounces, body, carry) that stops early once every
+    lane is dead — exactly output-preserving (a bounce over an all-dead
+    wavefront is a masked no-op) but skips the work."""
+    import jax
+
+    def cond(state):
+        b, c = state
+        return (b < bounces) & jnp.any(alive_of(c))
+
+    def step(state):
+        b, c = state
+        return b + 1, body(b, c)
+
+    _, carry = jax.lax.while_loop(cond, step, (jnp.int32(0), carry))
+    return carry
+
+
 def trace_compacted(
     scene: SceneData,
     ro: jnp.ndarray,
@@ -158,11 +201,9 @@ def trace_compacted(
     orig = jnp.arange(n, dtype=jnp.int32)  # sorted position -> pixel
 
     carry = (rad, thr, ro, rd, alive, segments)
-    n_stages = -(-max_depth // stage_bounces)
 
-    for stage in range(n_stages):
+    for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
         k_stage = jax.random.fold_in(key, 1000 + stage)
-        bounces = min(stage_bounces, max_depth - stage * stage_bounces)
 
         if stage == 0:
             # full-width warm stage (everything is alive anyway)
@@ -196,8 +237,8 @@ def trace_compacted(
             def bodyc(b, c):
                 return _bounce(scene, jax.random.fold_in(k_chunk, b), c)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, c_segs = jax.lax.fori_loop(
-                0, bounces, bodyc, c_carry
+            c_rad, c_thr, c_ro, c_rd, c_alive, c_segs = bounded_bounce_loop(
+                bounces, bodyc, c_carry, lambda c: c[4]
             )
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
             return (

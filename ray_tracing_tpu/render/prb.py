@@ -257,10 +257,13 @@ def prb_grad_compacted(
     gacc = _zero_grads(scene)
     orig = jnp.arange(n, dtype=jnp.int32)
 
-    n_stages = -(-max_depth // stage_bounces)
-    for stage in range(n_stages):
+    from ray_tracing_tpu.render.integrator import (
+        bounded_bounce_loop,
+        stage_schedule,
+    )
+
+    for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
         k_stage = jax.random.fold_in(key, 1000 + stage)
-        bounces = min(stage_bounces, max_depth - stage * stage_bounces)
 
         if stage == 0:
             def body0(b, c):
@@ -296,8 +299,8 @@ def prb_grad_compacted(
             def bodyc(b, c):
                 return _prb_bounce(scene, jax.random.fold_in(k_chunk, b), c)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, gacc2, _, _ = jax.lax.fori_loop(
-                0, bounces, bodyc, c_carry
+            c_rad, c_thr, c_ro, c_rd, c_alive, gacc2, _, _ = (
+                bounded_bounce_loop(bounces, bodyc, c_carry, lambda c: c[4])
             )
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
             return (
