@@ -51,7 +51,7 @@ from ray_tracing_tpu.models.scene import (
     MAT_METAL,
     SceneData,
 )
-from ray_tracing_tpu.ops.geometry import EPSILON, INF
+from ray_tracing_tpu.ops.geometry import EPSILON, INF, take_rows
 from ray_tracing_tpu.ops.intersect import intersect_scene
 from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 from ray_tracing_tpu.render.integrator import trace, trace_compacted
@@ -113,8 +113,17 @@ def _one_hot_add(gacc, leaf, contrib, mask):
 
     A one-hot matmul keeps this off the scalar (scatter) unit; highest
     precision so the MXU accumulates in f32.
+
+    contrib is stop_gradient'ed: the accumulators are primal-exact
+    gradient OUTPUTS whose own tangents are never consumed (the scalar
+    tangent replay in prb_scalar.py runs jacfwd with has_aux=True and
+    discards aux tangents), so without the stop the jvp would drag a
+    full-size accumulator tangent stream per scalar parameter through
+    every loop carry.  Second derivatives of the PRB gradients are not
+    a supported surface.
     """
     t = gacc.shape[0]
+    contrib = jax.lax.stop_gradient(contrib)
     oh = jax.nn.one_hot(leaf, t, dtype=jnp.float32)  # (N, T)
     contrib = jnp.where(mask[:, None], contrib, 0.0)
     return gacc + jax.lax.dot_general(
@@ -129,8 +138,11 @@ def _scatter_add(gimg, texel, contrib, mask):
 
     Atlas scatters ride the scalar unit (~2 ms / 64k rows on TPU), so
     the whole thing is gated on "did any ray touch an image texture this
-    bounce" — most bounce blocks did not.
+    bounce" — most bounce blocks did not.  stop_gradient for the same
+    reason as _one_hot_add (and the gate keeps the full-size gimg out
+    of per-bounce cond operand copies on the tangent side too).
     """
+    contrib = jax.lax.stop_gradient(contrib)
 
     def do(gimg):
         c = jnp.where(mask[:, None], contrib, 0.0)
@@ -162,16 +174,11 @@ def _prb_bounce(scene: SceneData, kb, carry):
     )
     em, sc, aux = shade(scene, hit, rd, u, with_aux=True)
 
-    mtype = scene.materials.mtype[hit.material]
+    mtype = take_rows(scene.materials.mtype, hit.material)
     has_images = scene.textures.images.shape[0] > 0
 
     # emission gradient: d rad / d emit = T_k (one-sided emission)
     emit_mask = found & (mtype == MAT_DIFFUSE_LIGHT) & hit.front_face
-    gcol = _one_hot_add(gcol, aux.leaf_tex, g * thr, emit_mask & aux.leaf_is_solid)
-    if has_images:
-        gimg = _scatter_add(
-            gimg, aux.texel, g * thr, emit_mask & aux.leaf_is_image
-        )
 
     rad = rad + jnp.where(found[:, None], thr * em, 0.0)
     new_alive = found & sc.scattered
@@ -183,19 +190,28 @@ def _prb_bounce(scene: SceneData, kb, carry):
     suffix = rad_total - rad  # radiance strictly after this bounce
     a_safe = jnp.maximum(aux.tex_value, _A_EPS)
     alb_contrib = g * suffix / a_safe
+
+    # A diffuse light never scatters (emit_mask ⊆ ~new_alive) so the
+    # emission and albedo masks are disjoint per ray — both texture-leaf
+    # accumulations merge into ONE one-hot matmul and ONE gated scatter
+    # per bounce.
+    leaf_contrib = jnp.where(emit_mask[:, None], g * thr, alb_contrib)
+    leaf_mask = emit_mask | albedo_mask
     gcol = _one_hot_add(
-        gcol, aux.leaf_tex, alb_contrib, albedo_mask & aux.leaf_is_solid
+        gcol, aux.leaf_tex, leaf_contrib, leaf_mask & aux.leaf_is_solid
     )
     if has_images:
         gimg = _scatter_add(
-            gimg, aux.texel, alb_contrib, albedo_mask & aux.leaf_is_image
+            gimg, aux.texel, leaf_contrib, leaf_mask & aux.leaf_is_image
         )
 
     # metal albedo: the Specular coefficient is the albedo itself
     # (reference metal.rs:31-46), so the same suffix/A trick applies,
     # keyed by material row instead of texture leaf
     metal_mask = new_alive & (mtype == MAT_METAL)
-    met_safe = jnp.maximum(scene.materials.albedo[hit.material], _A_EPS)
+    met_safe = jnp.maximum(
+        take_rows(scene.materials.albedo, hit.material), _A_EPS
+    )
     gmet = _one_hot_add(gmet, hit.material, g * suffix / met_safe, metal_mask)
 
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
