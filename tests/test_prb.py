@@ -174,6 +174,59 @@ def test_prb_texel_fit_recovers_image():
     assert np.mean(err < 0.2) > 0.75, err
 
 
+def test_prb_emissive_image_texture_matches_ad():
+    """An image-textured diffuse light sends the EMISSION gradient
+    through the atlas-scatter path (emit_mask & leaf_is_image) — the
+    branch merged with the albedo accumulation in prb._prb_bounce; pins
+    that the merged one-hot/scatter still routes T_k to the right texels
+    and suffix/A to the right solid leaves on the same bounce."""
+    rng = np.random.RandomState(11)
+    emit_img = rng.uniform(1.0, 5.0, (3, 5, 3)).astype(np.float32)
+    b = SceneBuilder(background=(0.05, 0.05, 0.05))
+    white = b.add_lambertian(b.add_texture_solid((0.73, 0.7, 0.68)))
+    light = b.add_diffuse_light(b.add_texture_image(emit_img))
+    b.add_rect("zx", -2, 2, -2, 2, 0.0, white, positive=True)
+    b.add_rect("zx", -1, 1, -1, 1, 3.0, light, positive=False,
+               important=True)
+    b.add_sphere((0.3, 0.5, -0.5), 0.4, white)
+    scene = b.build()
+
+    ro, rd = _rays(2048, seed=6)
+    key = jax.random.key(8)
+    depth = 5
+    wrng = np.random.RandomState(2)
+    weights = jnp.asarray(wrng.uniform(0, 1, (ro.shape[0], 3)), jnp.float32)
+    params = PrbParams(
+        scene.textures.color, scene.textures.images, scene.materials.albedo
+    )
+
+    def loss_ad(p):
+        s = scene.replace(
+            textures=scene.textures.replace(color=p.color, images=p.images)
+        )
+        return jnp.sum(trace(s, ro, rd, key, depth) * weights)
+
+    g_ad = jax.grad(loss_ad)(params)
+
+    def loss_prb(p):
+        return jnp.sum(
+            prb_radiance_full(p, scene, ro, rd, key, depth, compaction=False)
+            * weights
+        )
+
+    g_prb = jax.grad(loss_prb)(params)
+    np.testing.assert_allclose(
+        np.asarray(g_prb.images), np.asarray(g_ad.images),
+        rtol=2e-3, atol=3e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_prb.color), np.asarray(g_ad.color),
+        rtol=2e-3, atol=3e-4,
+    )
+    # the emitter texels the rays can see must carry real gradient
+    assert np.abs(np.asarray(g_ad.images)).sum() > 0.01
+
+
 def test_prb_replay_reproduces_forward_exactly():
     """The replay must walk the very same paths: its reconstructed
     radiance equals the forward output bit-for-bit (dense and compacted)."""
