@@ -93,7 +93,12 @@ def main():
                 colors, scene, ro_s, rd_s, jax.random.fold_in(key, dev),
                 args.depth,
             )
-            return jnp.sum(rad)
+            # psum so the replicated output is the TRUE all-ray sum (and
+            # the transposed cotangent of `colors` is summed, not
+            # averaged, across shards) — same collective the production
+            # path gets implicitly from out_specs=P(RAY_AXIS) in
+            # parallel/mesh.py:sharded_prb_render
+            return jax.lax.psum(jnp.sum(rad), RAY_AXIS)
 
         sharded = shard_map(
             shard_fn, mesh=mesh,
@@ -114,10 +119,13 @@ def main():
         l, g = fwd_bwd(colors, jax.random.key(0))
         float(l)
 
+        # pipeline all passes, sync ONCE at the end (CLAUDE.md hazard 2:
+        # per-pass host syncs cost 30-100 ms through the axon tunnel and
+        # would add a device-count-independent term to every timing)
         t0 = time.perf_counter()
-        for i in range(1, args.passes + 1):
-            l, g = fwd_bwd(colors, jax.random.key(i))
-            float(l)  # host sync (block_until_ready lies through axon)
+        outs = [fwd_bwd(colors, jax.random.key(i))
+                for i in range(1, args.passes + 1)]
+        np.asarray(outs[-1][0])
         dt = time.perf_counter() - t0
 
         rays_per_s = n * args.passes / dt

@@ -87,8 +87,11 @@ def main():
     from ray_tracing_tpu.render.prb import check_fit_init
 
     init = jnp.full_like(true_colors, 0.5)
-    init = init.at[3].set(true_colors[3])  # emitter stays fixed below
     colors = check_fit_init(init, nudge=1e-3)
+    # emitter stays fixed below — re-pin AFTER the nudge so a
+    # pure-colored light's zero channels are not lifted off the ground
+    # truth the targets were rendered with
+    colors = colors.at[3].set(true_colors[3])
     opt = optax.adam(args.lr)
     start_step = 0
     if args.checkpoint:

@@ -142,9 +142,22 @@ def mesh_strategy(scene: SceneData) -> str:
     if scene.n_triangles == 0:
         return "none"
     mode = os.environ.get("RAY_TPU_MESH", "auto")
-    if mode == "bvh" and scene.bvh is not None:
+    if mode == "bvh":
+        if scene.bvh is None:
+            raise ValueError(
+                "RAY_TPU_MESH=bvh requested but the scene has no BVH "
+                "(built by SceneBuilder for mesh scenes); refusing to "
+                "fall back silently — an A/B run would mislabel its "
+                "numbers"
+            )
         return "bvh"
-    if mode == "sweep" and scene.triangles.has_sweep:
+    if mode == "sweep":
+        if not scene.triangles.has_sweep:
+            raise ValueError(
+                "RAY_TPU_MESH=sweep requested but the triangle table "
+                "has no sweep data (pack_triangle_sweep); refusing to "
+                "fall back silently"
+            )
         return "sweep"
     if mode == "brute":
         return "brute"

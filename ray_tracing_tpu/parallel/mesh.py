@@ -152,6 +152,106 @@ def sharded_prb_render(
     return rad[:n].reshape(height, width, 3)
 
 
+def sharded_prb_render_all(
+    params,
+    scene: SceneData,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    mesh: Mesh,
+    compaction: bool = True,
+    static_scene: SceneData = None,
+):
+    """One 1-spp pass, ray-axis sharded, differentiable w.r.t. the FULL
+    parameter set (solid colors, atlas texels, metal albedo, fuzz,
+    dielectric IR) — bench.py's full fwd+bwd, multi-chip.
+
+    The scene rides through shard_map as an operand (a closed-over
+    tracer would escape the enclosing trace), so the concrete compiled
+    scene must be supplied as ``static_scene`` for the scalar-row
+    extraction (which material rows carry a fuzz / IR tangent — a
+    traced-shape decision).  ``params`` is a
+    :class:`~ray_tracing_tpu.render.prb_scalar.AllParams`.
+    """
+    from ray_tracing_tpu.render.prb_scalar import prb_radiance_all
+
+    if static_scene is None:
+        static_scene = scene  # caller passed a concrete scene directly
+
+    n = width * height
+    n_dev = mesh.devices.size
+    n_pad = _pad_to(n, n_dev)
+
+    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
+    st = sample_st(k_st, width, height, True)
+    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
+    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
+    ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    if n_pad != n:
+        ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                          (n_pad - n, 1))]
+        )
+
+    def shard_fn(params, scene, ro_s, rd_s, key):
+        dev = jax.lax.axis_index(RAY_AXIS)
+        return prb_radiance_all(
+            params, scene, ro_s, rd_s, jax.random.fold_in(key, dev),
+            max_depth, compaction=compaction,
+            static_scene=static_scene,
+        )
+
+    rad = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(params, scene, ro, rd, k_trace)
+    return rad[:n].reshape(height, width, 3)
+
+
+def make_prb_train_step_all(
+    camera: Camera,
+    template_scene: SceneData,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    mesh: Mesh,
+    lr: float = 0.5,
+    compaction: bool = True,
+):
+    """Full-parameter data-parallel train step: compacted forward + PRB
+    backward + scalar tangent replays per shard, psum'd gradients for
+    EVERY differentiable scene parameter.
+
+    ``template_scene`` is the concrete compiled scene; its material
+    types fix the scalar-row structure once at build time (types never
+    change during a fit).  Returns ``step(params, scene, key, target)
+    -> (params', loss)`` with params an ``AllParams``.
+    """
+    def loss_fn(params, scene, key, target):
+        img = sharded_prb_render_all(
+            params, scene, camera, key,
+            width=width, height=height, max_depth=max_depth, mesh=mesh,
+            compaction=compaction, static_scene=template_scene,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(params, scene, key, target):
+        loss, g = jax.value_and_grad(loss_fn)(params, scene, key, target)
+        params = jax.tree.map(lambda p, gp: p - lr * gp, params, g)
+        return params, loss
+
+    return step
+
+
 def make_prb_train_step(
     camera: Camera,
     *,

@@ -54,8 +54,6 @@ from ray_tracing_tpu.models.scene import (
 from ray_tracing_tpu.ops.geometry import EPSILON, INF, take_rows
 from ray_tracing_tpu.ops.intersect import intersect_scene
 from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
-from ray_tracing_tpu.render.integrator import trace, trace_compacted
-
 _A_EPS = 1e-6
 
 
@@ -338,15 +336,6 @@ def prb_grad_compacted(
     return gacc, rad_out
 
 
-def _with_params(scene: SceneData, params: PrbParams) -> SceneData:
-    return scene.replace(
-        textures=scene.textures.replace(
-            color=params.color, images=params.images
-        ),
-        materials=scene.materials.replace(albedo=params.metal_albedo),
-    )
-
-
 def prb_radiance_full(
     params: PrbParams,
     scene: SceneData,
@@ -362,50 +351,29 @@ def prb_radiance_full(
     backprop.
 
     Forward may use the compacted loop (AD could not); backward costs
-    one replayed forward.  Rays/key/scene pass through the custom_vjp
-    as explicit inputs (zero cotangents) so they may be tracers of an
-    enclosing transformation — a lax.map over tiles, or a shard_map
-    body (the multi-chip path; a closed-over scene tracer would escape
-    its trace there); only ``params`` receives a real cotangent.
+    one replayed forward.  Rays/key/scene may be tracers of an enclosing
+    transformation — a lax.map over tiles, or a shard_map body (the
+    multi-chip path); only ``params`` receives a real cotangent.
+
+    Thin façade over :func:`prb_scalar.prb_radiance_all` with the scalar
+    tangent replay disabled (``scalar_rows=((), ())`` — no concrete
+    scene needed, so traced scenes stay supported); fuzz/IR enter
+    stop_gradient'ed and their zero cotangents are dropped by the chain
+    rule.
     """
+    from ray_tracing_tpu.render.prb_scalar import AllParams, prb_radiance_all
 
-    def run_fwd(p, sc, ro, rd, keydata):
-        k = jax.random.wrap_key_data(keydata)
-        s = _with_params(sc, p)
-        if compaction:
-            return trace_compacted(s, ro, rd, k, max_depth)
-        return trace(s, ro, rd, k, max_depth)
-
-    @jax.custom_vjp
-    def inner(p, sc, ro, rd, keydata):
-        return run_fwd(p, sc, ro, rd, keydata)
-
-    def fwd(p, sc, ro, rd, keydata):
-        rad = run_fwd(p, sc, ro, rd, keydata)
-        return rad, (p, sc, ro, rd, keydata, rad)
-
-    def bwd(res, g):
-        p, sc, ro, rd, keydata, rad = res
-        k = jax.random.wrap_key_data(keydata)
-        s = _with_params(sc, p)
-        if compaction:
-            (gcol, gimg, gmet), _ = prb_grad_compacted(
-                s, ro, rd, k, max_depth, rad, g
-            )
-        else:
-            (gcol, gimg, gmet), _ = prb_grad_dense(
-                s, ro, rd, k, max_depth, rad, g
-            )
-        return (
-            PrbParams(gcol, gimg.reshape(p.images.shape), gmet),
-            zero_cotangent(sc),
-            jnp.zeros_like(ro),
-            jnp.zeros_like(rd),
-            np.zeros((2,), jax.dtypes.float0),
-        )
-
-    inner.defvjp(fwd, bwd)
-    return inner(params, scene, ro, rd, jax.random.key_data(key))
+    full = AllParams(
+        color=params.color,
+        images=params.images,
+        metal_albedo=params.metal_albedo,
+        fuzz=jax.lax.stop_gradient(scene.materials.fuzz),
+        ir=jax.lax.stop_gradient(scene.materials.ir),
+    )
+    return prb_radiance_all(
+        full, scene, ro, rd, key, max_depth,
+        compaction=compaction, scalar_rows=((), ()),
+    )
 
 
 def prb_radiance(

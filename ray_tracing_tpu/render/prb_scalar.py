@@ -89,10 +89,20 @@ def _with_all(scene: SceneData, p: AllParams) -> SceneData:
 def _active_rows(scene: SceneData):
     """Material rows whose fuzz / ir actually matter (metal / dielectric
     rows).  Needs concrete material types: the scene must be a real
-    compiled scene, not a tracer — which is how every call site uses it
-    (the scene is closed over; only parameters flow through traced
-    code)."""
-    mtype = np.asarray(scene.materials.mtype)
+    compiled scene, not a tracer.  When the scene itself is a traced
+    operand (a shard_map body — parallel/mesh.py passes the scene as an
+    operand precisely so no tracer escapes), pass the concrete template
+    scene as ``static_scene`` / ``scalar_rows`` instead."""
+    try:
+        mtype = np.asarray(scene.materials.mtype)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        raise ValueError(
+            "prb_radiance_all: the scene is a tracer, so the active "
+            "scalar-parameter rows (metal fuzz / dielectric IR) cannot "
+            "be read from it.  Pass the concrete compiled scene as "
+            "static_scene=, or precomputed row indices as scalar_rows=."
+        ) from e
     return (
         np.nonzero(mtype == MAT_METAL)[0],
         np.nonzero(mtype == MAT_DIELECTRIC)[0],
@@ -108,6 +118,8 @@ def prb_radiance_all(
     max_depth: int,
     *,
     compaction: bool = True,
+    static_scene: SceneData | None = None,
+    scalar_rows: tuple | None = None,
 ):
     """Per-ray radiance, differentiable w.r.t. the full parameter set.
 
@@ -115,8 +127,22 @@ def prb_radiance_all(
     plus one forward tangent replay per active scalar parameter.  The
     compacted loop is used throughout when ``compaction`` is on; nothing
     ever falls back to dense reverse-mode AD.
+
+    The active scalar rows (which material rows carry a fuzz / IR
+    tangent) must be CONCRETE — they set traced shapes.  By default they
+    are read from ``scene``; when ``scene`` is itself a traced operand
+    (a shard_map body), pass the concrete compiled scene as
+    ``static_scene`` or the row indices as ``scalar_rows=(fuzz_rows,
+    ir_rows)`` (``((), ())`` disables the scalar tangent replay
+    entirely — what :func:`~ray_tracing_tpu.render.prb.prb_radiance_full`
+    does for the color-linear-only surface).
     """
-    fuzz_rows, ir_rows = _active_rows(scene)
+    if scalar_rows is not None:
+        fuzz_rows, ir_rows = scalar_rows
+    else:
+        fuzz_rows, ir_rows = _active_rows(
+            scene if static_scene is None else static_scene
+        )
     n_f, n_i = len(fuzz_rows), len(ir_rows)
     n_scalars = n_f + n_i
     # keep the row indices as NUMPY: jnp.asarray with a dtype cast runs a

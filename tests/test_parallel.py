@@ -9,6 +9,7 @@ import numpy as np
 from ray_tracing_tpu import Camera, CameraParam, SceneBuilder
 from ray_tracing_tpu.parallel.mesh import (
     make_mesh,
+    make_prb_train_step_all,
     make_train_step,
     sharded_render_pass,
     sharded_trace,
@@ -65,6 +66,49 @@ def test_sharded_render_pass_shape():
     )
     assert img.shape == (12, 20, 3)
     assert np.isfinite(img).all()
+
+
+def test_full_param_train_step_sharded():
+    """The FULL parameter set (colors, texels, metal albedo, fuzz, IR)
+    gets gradients through the sharded production path: the scene rides
+    shard_map as a traced operand, the scalar rows come from the
+    concrete template scene (prb_scalar._active_rows cannot read a
+    tracer), and the psum'd full-param step descends."""
+    from ray_tracing_tpu.render.prb_scalar import params_of
+
+    b = SceneBuilder(background=(0.3, 0.3, 0.3))
+    green = b.add_lambertian(b.add_texture_solid((0.2, 0.8, 0.2)))
+    metal = b.add_metal((0.9, 0.8, 0.7), 0.2)
+    glass = b.add_dielectric(1.5)
+    light = b.add_diffuse_light(b.add_texture_solid((3.0, 3.0, 3.0)))
+    b.add_rect("xy", -5, 5, -5, 5, -3.0, green, positive=True)
+    b.add_sphere((-0.7, 0.0, -1.8), 0.5, metal)
+    b.add_sphere((0.7, 0.0, -1.8), 0.5, glass)
+    b.add_rect("zx", -1, 1, -3, -1, 3.0, light, positive=False,
+               important=True)
+    scene = b.build()
+    cam = Camera.build(CameraParam((0, 0, 1), (0, 0, -1), 90), 1.0)
+    mesh = make_mesh()
+    step = make_prb_train_step_all(
+        cam, scene, width=16, height=16, max_depth=4, mesh=mesh, lr=0.3,
+    )
+
+    params = params_of(scene)
+    target = jnp.full((16, 16, 3), 0.5, jnp.float32)
+    losses = []
+    for it in range(6):
+        params, loss = step(params, scene, jax.random.key(it), target)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    # scalar parameters actually received gradient signal
+    p0 = params_of(scene)
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).sum()),
+        params, p0,
+    )
+    assert moved.color > 0.0
+    assert moved.fuzz > 0.0 or moved.ir > 0.0, moved
 
 
 def test_train_step_reduces_loss():

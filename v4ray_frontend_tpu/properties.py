@@ -107,6 +107,10 @@ AnyProperty = Union[FloatProperty, ColorProperty, TextureProperty]
 
 def pack(fields: Sequence[AnyProperty], values: Sequence[Any]) -> Dict[str, Any]:
     """Encode a value list into the plugin's project-JSON object."""
+    if len(values) != len(fields):
+        raise ValueError(
+            f"expected {len(fields)} values, got {len(values)}"
+        )
     out: Dict[str, Any] = {}
     for f, v in zip(fields, values):
         encode = _CODECS[f.codec][0]
@@ -152,7 +156,11 @@ def unpack(fields: Sequence[AnyProperty], data: Dict[str, Any]) -> List[Any]:
 
 
 def fields_valid(fields: Sequence[AnyProperty], values: Sequence[Any]) -> bool:
-    """Every per-field ``check`` predicate passes (missing check = pass)."""
+    """Every per-field ``check`` predicate passes (missing check = pass).
+    A malformed value list (wrong length — e.g. a truncated editor POST)
+    is invalid, never silently zip-truncated."""
+    if len(values) != len(fields):
+        return False
     return all(
         f.check is None or f.check(v) for f, v in zip(fields, values)
     )
