@@ -11,7 +11,24 @@ Run (CPU example):
   JAX_PLATFORMS=cpu python examples/fit_albedo.py --steps 60 --size 48
 """
 
+
+
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # runnable as `python examples/<name>.py` without installing
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # some containers pin another platform in sitecustomize, overriding
+    # the env var; re-assert the documented CPU recipe in-process
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 import argparse
 

@@ -13,7 +13,24 @@ Run: python examples/render_baselines.py [--out dir] [--configs C1,C2]
      [--spp-scale 0.25]   (scale spp for quick smoke runs)
 """
 
+
+
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # runnable as `python examples/<name>.py` without installing
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # some containers pin another platform in sitecustomize, overriding
+    # the env var; re-assert the documented CPU recipe in-process
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 import argparse
 import json

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 EPSILON = 1e-3  # reference src/lib.rs:34
 INF = jnp.inf
@@ -254,13 +255,13 @@ def triangle_sweep_t(ro, rd, e12, e13, origin, n, g1, g2, d0, t_min, t_max):
 # plane axis (reference aa_rect.rs rect_shape! instantiations):
 #   0 = XYRect (x0 x1 y0 y1, k on z), 1 = YZRect (y0 y1 z0 z1, k on x),
 #   2 = ZXRect (z0 z1 x0 x1, k on y)
-RECT_AXES = jnp.array([[0, 1, 2], [1, 2, 0], [2, 0, 1]], dtype=jnp.int32)
+RECT_AXES = np.array([[0, 1, 2], [1, 2, 0], [2, 0, 1]], dtype=np.int32)
 # One-hot basis row per variant for each role: ua on idx0, ub on idx1,
 # uk on idx2.  Axis selection becomes three dot products (pure VPU) —
 # dynamic-axis gathers (take_along_axis) cost ~100x more on TPU.
-RECT_UA = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=jnp.float32)
-RECT_UB = jnp.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], dtype=jnp.float32)
-RECT_UK = jnp.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], dtype=jnp.float32)
+RECT_UA = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32)
+RECT_UB = np.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], dtype=np.float32)
+RECT_UK = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
 
 
 def rect_t(ro, rd, axis, a0, a1, b0, b1, k, t_min, t_max):
