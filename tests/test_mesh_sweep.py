@@ -123,3 +123,40 @@ def test_sweep_render_matches_brute_image(bunny_scene, monkeypatch):
         )
     monkeypatch.delenv("RAY_TPU_MESH")
     np.testing.assert_allclose(imgs["sweep"], imgs["brute"], atol=1e-4, rtol=1e-3)
+
+
+def test_unhonorable_mesh_override_raises(monkeypatch):
+    """An explicit RAY_TPU_MESH=bvh/sweep that the scene cannot honor
+    must raise, not silently fall back (an A/B run would otherwise
+    mislabel its numbers)."""
+    import pytest
+
+    from ray_tracing_tpu import CameraParam, SceneBuilder
+    from ray_tracing_tpu.ops.intersect import mesh_strategy
+    from ray_tracing_tpu.models.scene import TriangleTable
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    white = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
+    pts = np.asarray([[[0, 0, -2], [1, 0, -2], [0, 1, -2]]], np.float32)
+    nrm = np.tile(np.asarray([0, 0, 1], np.float32), (1, 3, 1))
+    uv = np.zeros((1, 3, 2), np.float32)
+    b.add_mesh_triangles(pts, nrm, uv, white)
+    scene = b.build()
+
+    # strip the sweep tables / BVH to simulate a hand-built table
+    tr = scene.triangles
+    stripped = scene.replace(
+        triangles=tr.replace(
+            sw_origin=None, sw_n=None, sw_g1=None, sw_g2=None, sw_d0=None
+        ),
+        bvh=None,
+    )
+    assert not stripped.triangles.has_sweep
+
+    monkeypatch.setenv("RAY_TPU_MESH", "sweep")
+    with pytest.raises(ValueError, match="sweep"):
+        mesh_strategy(stripped)
+    monkeypatch.setenv("RAY_TPU_MESH", "bvh")
+    with pytest.raises(ValueError, match="bvh"):
+        mesh_strategy(stripped)
+    monkeypatch.delenv("RAY_TPU_MESH")
