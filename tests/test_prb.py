@@ -244,6 +244,20 @@ def test_prb_replay_reproduces_forward_exactly():
     np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(replay_c))
 
 
+def test_prb_compacted_replay_exact_with_images():
+    """Replay lock-step must also hold when the atlas-scatter path is
+    active (image textures gate a lax.cond per bounce inside the
+    chunked while_loop)."""
+    scene = _textured_cornell()
+    ro, rd = _rays(4096, seed=8)
+    key = jax.random.key(12)
+    g = jnp.ones_like(ro)
+
+    rad_c = trace_compacted(scene, ro, rd, key, 6)
+    _, replay_c = prb_grad_compacted(scene, ro, rd, key, 6, rad_c, g)
+    np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(replay_c))
+
+
 def test_prb_compacted_gradient_is_consistent():
     """Compacted PRB differentiates its own (compacted) estimator; its
     gradient must match dense-PRB statistically (same expectation)."""
