@@ -46,6 +46,7 @@ TAKE_ONEHOT_MAX = 32
 def take_rows(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``tab[idx]`` for a (M, ...) table and (...,) int indices, lowered
     fusably (one-hot select-sum) when M <= TAKE_ONEHOT_MAX."""
+    tab = jnp.asarray(tab)  # host-numpy tables + traced idx must gather in jnp
     m = tab.shape[0]
     if m == 0 or m > TAKE_ONEHOT_MAX:
         return tab[idx]

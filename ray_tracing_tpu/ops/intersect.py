@@ -380,8 +380,13 @@ def intersect_scene(
             pallas_phase_a,
         )
 
-        use_pallas = pallas_eligible(scene) and jax.default_backend() in (
-            "tpu", "axon",
+        # the kernel hardcodes the (EPSILON, INF) window every render
+        # call uses; honor any other bounds via the XLA path
+        use_pallas = (
+            pallas_eligible(scene)
+            and t_min == geo.EPSILON
+            and t_max == INF
+            and jax.default_backend() in ("tpu", "axon")
         )
     if use_pallas:
         pt, pkind, pidx = pallas_phase_a(scene, ro, rd)

@@ -83,19 +83,21 @@ def shade(scene: SceneData, hit: Hit, rd_in: jnp.ndarray, u: jnp.ndarray,
     once (it feeds both the diffuse-light emission and the lambertian /
     isotropic attenuation).  Returns (emitted (N,3), Scatter[, ShadeAux])."""
     from ray_tracing_tpu.models.scene import TEX_IMAGE, TEX_SOLID
-    from ray_tracing_tpu.ops.textures import image_texel_index, resolve_leaf
+    from ray_tracing_tpu.ops.textures import image_texel_index
 
-    tex = texture_value(
-        scene.textures, take_rows(scene.materials.tex, hit.material), hit.uv, hit.p
-    )
+    tt = scene.textures
+    tex_idx = take_rows(scene.materials.tex, hit.material)
+    if with_aux:
+        # one checker walk serves both the color and the PRB leaf aux
+        tex, leaf = texture_value(tt, tex_idx, hit.uv, hit.p, with_leaf=True)
+    else:
+        tex = texture_value(tt, tex_idx, hit.uv, hit.p)
     out = (
         _emitted_given_tex(scene, hit, tex),
         _scatter_given_tex(scene, hit, rd_in, u, tex),
     )
     if not with_aux:
         return out
-    tt = scene.textures
-    leaf = resolve_leaf(tt, take_rows(scene.materials.tex, hit.material), hit.p)
     if tt.images.shape[0] > 0:
         leaf_is_image = take_rows(tt.ttype, leaf) == TEX_IMAGE
         img = take_rows(tt.image, leaf)

@@ -189,11 +189,14 @@ def pack_primitive_tables(scene: SceneData):
         inv_t = scene.transforms.inv_t[sp.transform]
         sph = jnp.concatenate([sph, inv, inv_t], axis=1)
     rc = scene.rects
+    # rc.axis is traced under jit (the scene is a jit argument); the
+    # RECT_* basis tables are host numpy, so index via jnp
+    ua, ub, uk = (jnp.asarray(m) for m in (RECT_UA, RECT_UB, RECT_UK))
     rect = jnp.concatenate(
         [
-            RECT_UA[rc.axis],
-            RECT_UB[rc.axis],
-            RECT_UK[rc.axis],
+            ua[rc.axis],
+            ub[rc.axis],
+            uk[rc.axis],
             rc.a0[:, None], rc.a1[:, None], rc.b0[:, None], rc.b1[:, None],
             rc.k[:, None],
         ],

@@ -125,10 +125,12 @@ def resolve_leaf(tt: TextureTable, idx, p):
     return idx
 
 
-def texture_value(tt: TextureTable, idx, uv, p):
+def texture_value(tt: TextureTable, idx, uv, p, *, with_leaf: bool = False):
     """Evaluate texture ``idx`` at (uv, p) for a batch of rays.
 
-    idx: (...,) i32, uv: (..., 2), p: (..., 3) -> (..., 3) color.
+    idx: (...,) i32, uv: (..., 2), p: (..., 3) -> (..., 3) color, or
+    (color, resolved_leaf) with ``with_leaf`` (so callers that also need
+    the leaf — shade's PRB aux — don't walk the checker chain twice).
     """
     idx = resolve_leaf(tt, idx, p)
     ttype = take_rows(tt.ttype, idx)
@@ -162,4 +164,4 @@ def texture_value(tt: TextureTable, idx, uv, p):
         # white * turb (reference noise.rs:160-171)
         out = jnp.where(is_noise[..., None], turb[..., None], out)
 
-    return out
+    return (out, idx) if with_leaf else out

@@ -150,7 +150,6 @@ def bounded_bounce_loop(bounces: int, body, carry, alive_of):
     """fori_loop(0, bounces, body, carry) that stops early once every
     lane is dead — exactly output-preserving (a bounce over an all-dead
     wavefront is a masked no-op) but skips the work."""
-    import jax
 
     def cond(state):
         b, c = state

@@ -81,8 +81,6 @@ def check_fit_init(colors, *, nudge: float | None = None):
     dark starts should pass e.g. ``nudge=1e-3``)."""
     import warnings
 
-    import numpy as np
-
     c = np.asarray(colors)
     if (c == 0.0).any():
         warnings.warn(

@@ -153,8 +153,14 @@ def prb_radiance_all(
     fuzz_rows_j = np.asarray(fuzz_rows, np.int32)
     ir_rows_j = np.asarray(ir_rows, np.int32)
 
+    # keys ride through the custom_vjp as raw key_data (an extended
+    # dtype can't take a float0 cotangent); the impl is a static python
+    # value closed over so non-default PRNGs (rbg, unsafe_rbg) rewrap
+    # correctly on both sides
+    key_impl = jax.random.key_impl(key)
+
     def run_fwd(p, sc, ro, rd, keydata):
-        k = jax.random.wrap_key_data(keydata)
+        k = jax.random.wrap_key_data(keydata, impl=key_impl)
         s = _with_all(sc, p)
         if compaction:
             return trace_compacted(s, ro, rd, k, max_depth)
@@ -173,7 +179,7 @@ def prb_radiance_all(
 
     def bwd(res, g):
         p, sc, ro, rd, keydata, rad = res
-        k = jax.random.wrap_key_data(keydata)
+        k = jax.random.wrap_key_data(keydata, impl=key_impl)
         replay_fn = prb_grad_compacted if compaction else prb_grad_dense
 
         # ONE fused replay: its primal radiance prefix-sums produce the
@@ -214,7 +220,9 @@ def prb_radiance_all(
             zero_cotangent(sc),
             jnp.zeros_like(ro),
             jnp.zeros_like(rd),
-            np.zeros((2,), jax.dtypes.float0),
+            # key_data shape depends on the PRNG impl (threefry (2,),
+            # rbg (4,)) — mirror the primal, don't hardcode
+            np.zeros(jnp.shape(keydata), jax.dtypes.float0),
         )
 
     inner.defvjp(fwd, bwd)

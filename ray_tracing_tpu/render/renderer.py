@@ -175,18 +175,16 @@ class Renderer:
             # tail of live rays to full depth and the while_loop's lost
             # cross-bounce pipelining costs ~10%.
             early_exit = not scene.has_lights
-        self._render = jax.jit(
-            partial(
-                render_pass,
-                width=param.width,
-                height=param.height,
-                max_depth=self.max_depth,
-                antialias=self.antialias,
-                tile_size=self.tile_size,
-                early_exit=early_exit and not compaction,
-                compaction=compaction,
-            )
+        self._pass_opts = dict(
+            width=param.width,
+            height=param.height,
+            max_depth=self.max_depth,
+            antialias=self.antialias,
+            tile_size=self.tile_size,
+            early_exit=early_exit and not compaction,
+            compaction=compaction,
         )
+        self._render = jax.jit(partial(render_pass, **self._pass_opts))
 
     @staticmethod
     def _as_key(key):
@@ -203,18 +201,12 @@ class Renderer:
         return self._render(self.scene, self.camera, self._as_key(key))
 
     def render_with_stats(self, key):
-        """(image, traced_segment_count) — the honest rays/s numerator."""
+        """(image, traced_segment_count) — the honest rays/s numerator,
+        measured on the SAME code path render() runs (compaction /
+        early-exit settings included)."""
         if not hasattr(self, "_render_stats"):
             self._render_stats = jax.jit(
-                partial(
-                    render_pass,
-                    width=self.param.width,
-                    height=self.param.height,
-                    max_depth=self.max_depth,
-                    antialias=self.antialias,
-                    tile_size=self.tile_size,
-                    with_stats=True,
-                )
+                partial(render_pass, with_stats=True, **self._pass_opts)
             )
         return self._render_stats(self.scene, self.camera, self._as_key(key))
 

@@ -133,3 +133,27 @@ def test_pallas_padding_is_discarded():
     ro2, rd2 = _rays(777, seed=3)
     t2, _, _ = pallas_phase_a(scene, ro2, rd2, interpret=True)
     np.testing.assert_array_equal(np.asarray(t), np.asarray(t2))
+
+
+def test_pallas_phase_a_traces_with_scene_as_jit_argument():
+    """The production call path passes the SCENE as a jit argument
+    (Renderer.render -> jit(render_pass)(scene, ...)), so every table in
+    pack_primitive_tables is a tracer.  Host-numpy constants indexed by
+    traced arrays raise TracerArrayConversionError — this pins that the
+    whole phase A traces and runs under jit (interpret-mode kernel)."""
+    import jax
+
+    from ray_tracing_tpu.ops.pallas_intersect import pallas_phase_a
+
+    scene = load_scene_json("data/zy_scene.json").scene
+    ro, rd = _rays(256)
+
+    @jax.jit
+    def run(scene, ro, rd):
+        return pallas_phase_a(scene, ro, rd, interpret=True)
+
+    t, kind, idx = run(scene, ro, rd)
+    assert t.shape == (256,)
+    t2, kind2, idx2 = pallas_phase_a(scene, ro, rd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(kind), np.asarray(kind2))
