@@ -27,7 +27,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description="TPU-native progressive Monte Carlo path tracer",
     )
     p.add_argument("-i", "--input", required=True, help="input scene JSON")
-    p.add_argument("-o", "--output", required=True, help="output image (bmp/png)")
+    p.add_argument("-o", "--output", required=True, help="output image (bmp/png/...; .hdr = linear Radiance RGBE)")
     p.add_argument(
         "--iterations", type=int, default=0,
         help="stop after N 1-spp passes (0 = run until Enter)",
@@ -74,7 +74,7 @@ def main(argv=None) -> int:
 
     from ray_tracing_tpu import Renderer, RenderResult, load_scene_json
     from ray_tracing_tpu.utils.checkpoint import load_render, save_render
-    from ray_tracing_tpu.utils.image import save_image
+    from ray_tracing_tpu.utils.image import save_hdr, save_image
     from ray_tracing_tpu.utils.profiling import RenderStats, xla_trace
 
     bundle = load_scene_json(args.input, noise_seed=args.seed)
@@ -140,7 +140,10 @@ def main(argv=None) -> int:
                     raw = result.get_raw(last_saved)
                     if raw is not None:
                         img, last_saved = raw
-                        save_image(args.output, img)
+                        if args.output.lower().endswith(".hdr"):
+                            save_hdr(args.output, result.mean())
+                        else:
+                            save_image(args.output, img)
                         if args.checkpoint:
                             save_render(args.checkpoint, result, args.seed)
                         print(f"Iter {last_saved} saved", flush=True)
@@ -151,7 +154,10 @@ def main(argv=None) -> int:
     raw = result.get_raw(0)
     if raw is not None:
         img, n = raw
-        save_image(args.output, img)
+        if args.output.lower().endswith(".hdr"):
+            save_hdr(args.output, result.mean())  # linear radiance out
+        else:
+            save_image(args.output, img)
         if args.checkpoint:
             save_render(args.checkpoint, result, args.seed)
         print(f"Iter {n} saved", flush=True)

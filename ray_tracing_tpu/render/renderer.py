@@ -238,6 +238,61 @@ class Renderer:
             )
         return self._accum_fn(self.scene, self.camera, self._as_key(key), acc)
 
+    def render_to_noise(
+        self,
+        key,
+        *,
+        target_rel_err: float = 0.02,
+        max_passes: int = 4096,
+        min_passes: int = 8,
+        check_every: int = 16,
+    ):
+        """Render passes until the Monte-Carlo error estimate drops
+        below ``target_rel_err`` (production noise-targeted rendering;
+        the reference only offers a fixed manual pass count).
+
+        Tracks per-pixel (sum, sum of squares) on device; every
+        ``check_every`` passes one SCALAR — the mean over pixels of the
+        luminance stderr / (luminance + 1e-3) — is synced to the host
+        (a single cheap device->host round-trip).  Returns
+        ``(mean_image (H, W, 3) np.float32, passes, rel_err)``.
+        """
+        if not hasattr(self, "_accum2_fn"):
+            render = self._render
+
+            @jax.jit
+            def accum2(scene, camera, k, s, s2):
+                img = render(scene, camera, k)
+                return s + img, s2 + img * img
+
+            @jax.jit
+            def criterion(s, s2, n):
+                mean = s / n
+                var = jnp.maximum(s2 / n - mean * mean, 0.0) * n / jnp.maximum(n - 1, 1)
+                lum = jnp.sum(mean * jnp.asarray([0.2126, 0.7152, 0.0722]), -1)
+                lvar = jnp.sum(var * jnp.asarray([0.2126, 0.7152, 0.0722]) ** 2, -1)
+                stderr = jnp.sqrt(lvar / n)
+                return jnp.mean(stderr / (lum + 1e-3))
+
+            self._accum2_fn, self._crit_fn = accum2, criterion
+
+        key = self._as_key(key)
+        shape = (self.param.height, self.param.width, 3)
+        s = jnp.zeros(shape, jnp.float32)
+        s2 = jnp.zeros(shape, jnp.float32)
+        n = 0
+        rel = float("inf")
+        while n < max_passes:
+            s, s2 = self._accum2_fn(
+                self.scene, self.camera, jax.random.fold_in(key, n), s, s2
+            )
+            n += 1
+            if n >= min_passes and (n % check_every == 0 or n == max_passes):
+                rel = float(self._crit_fn(s, s2, jnp.float32(n)))
+                if rel <= target_rel_err:
+                    break
+        return np.asarray(s) / n, n, rel
+
     async def render_async(self, key):
         """Awaitable render matching the reference's async Python API
         (reference renderer.rs:449-476) — returns an (H, W, 3) numpy

@@ -46,3 +46,44 @@ def test_cli_renders_scene(tmp_path):
 
     with Image.open(out_path) as im:
         assert im.size == (24, 16)
+
+
+def test_hdr_roundtrip(tmp_path):
+    """save_hdr/load_hdr round-trip linear radiance within RGBE's 1/256
+    mantissa quantization, including HDR values > 1 and exact zeros."""
+    import numpy as np
+
+    from ray_tracing_tpu.utils.image import load_hdr, save_hdr
+
+    rng = np.random.RandomState(0)
+    img = (rng.uniform(0, 1, (7, 5, 3)) ** 2).astype(np.float32)
+    img *= rng.choice([0.01, 1.0, 37.5], size=(7, 5, 1)).astype(np.float32)
+    img[0, 0] = 0.0  # exact-zero pixel
+    path = str(tmp_path / "t.hdr")
+    save_hdr(path, img)
+    back = load_hdr(path)
+    assert back.shape == img.shape
+    assert (back[0, 0] == 0).all()
+    bright = img.max(axis=-1, keepdims=True)
+    tol = np.maximum(bright / 256.0, 1e-7)
+    assert (np.abs(back - img) <= tol + 1e-6).all()
+
+
+def test_cli_hdr_output(tmp_path):
+    """-o out.hdr writes linear Radiance RGBE (mean radiance, no tone
+    map) the CLI can produce alongside bmp/png."""
+    import numpy as np
+
+    from ray_tracing_tpu.cli import main
+    from ray_tracing_tpu.utils.image import load_hdr
+
+    out = str(tmp_path / "r.hdr")
+    rc = main([
+        "-i", "data/zy_scene.json", "-o", out,
+        "--iterations", "1", "--width", "24", "--height", "24",
+        "--max-depth", "3",
+    ])
+    assert rc == 0
+    img = load_hdr(out)
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(img).all() and img.max() > 0

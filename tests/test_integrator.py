@@ -244,3 +244,35 @@ def test_golden_regression_zy():
         os.path.join(os.path.dirname(__file__), "golden", "zy_32_d4_key42.npy")
     )
     np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_render_to_noise_converges_and_stops():
+    """Noise-targeted rendering: more passes -> lower error; loose
+    targets stop earlier than tight ones; the returned image is the
+    running mean."""
+    import jax
+
+    from ray_tracing_tpu import load_scene_json
+    from ray_tracing_tpu.render.renderer import Renderer, RendererParam
+
+    bd = load_scene_json("data/zy_scene.json")
+    r = Renderer(RendererParam(32, 32, max_depth=4), bd.camera, bd.scene)
+
+    img_loose, n_loose, rel_loose = r.render_to_noise(
+        0, target_rel_err=0.30, max_passes=64, min_passes=4, check_every=4
+    )
+    img_tight, n_tight, rel_tight = r.render_to_noise(
+        0, target_rel_err=0.10, max_passes=64, min_passes=4, check_every=4
+    )
+    assert img_loose.shape == (32, 32, 3)
+    assert n_loose <= n_tight
+    assert rel_tight <= rel_loose + 1e-6
+    assert np.isfinite(img_tight).all()
+    # the mean image matches accumulating the same keys manually
+    acc = None
+    key = jax.random.key(0)
+    for i in range(n_loose):
+        acc = r.accumulate(jax.random.fold_in(key, i), acc)
+    np.testing.assert_allclose(
+        img_loose, np.asarray(acc) / n_loose, rtol=1e-5, atol=1e-6
+    )
