@@ -120,16 +120,13 @@ void* rt_obj_load(const char* path) {
       for (size_t a = 1; a + 1 < corners.size(); ++a) {
         const std::array<int64_t, 3>* tri[3] = {&corners[0], &corners[a],
                                                 &corners[a + 1]};
-        bool all_n = true, all_t = true;
-        for (auto* c : tri) {
-          all_n = all_n && (*c)[2] >= 0;
-          all_t = all_t && (*c)[1] >= 0;
-        }
+        // keep the per-corner index arrays ALIGNED with indices even
+        // for faces that omit vn/vt (-1 sentinel); a mixed file would
+        // otherwise pair face i with face j's normals or read past the
+        // end of the vector
         for (auto* c : tri) m.indices.push_back((*c)[0]);
-        if (all_n)
-          for (auto* c : tri) m.normal_indices.push_back((*c)[2]);
-        if (all_t)
-          for (auto* c : tri) m.texcoord_indices.push_back((*c)[1]);
+        for (auto* c : tri) m.normal_indices.push_back((*c)[2]);
+        for (auto* c : tri) m.texcoord_indices.push_back((*c)[1]);
       }
     }
   }
@@ -169,7 +166,13 @@ void rt_obj_fill(void* handle, int model, float* pts, float* nrm, float* uv) {
     pts[i * 3 + 2] = obj->positions[vi * 3 + 2];
   }
 
-  if (!m.normal_indices.empty()) {
+  // use file normals only when EVERY corner has one (the reference's
+  // tobj path is all-or-nothing per mesh, obj.rs:64-70); any -1 falls
+  // back to smooth vertex normals for the whole model
+  bool all_n = !m.normal_indices.empty();
+  for (int64_t i = 0; all_n && i < f * 3; ++i)
+    all_n = m.normal_indices[i] >= 0;
+  if (all_n) {
     for (int64_t i = 0; i < f * 3; ++i) {
       const int64_t ni = m.normal_indices[i];
       nrm[i * 3 + 0] = obj->normals[ni * 3 + 0];
@@ -212,14 +215,12 @@ void rt_obj_fill(void* handle, int model, float* pts, float* nrm, float* uv) {
     }
   }
 
-  if (!m.texcoord_indices.empty()) {
-    for (int64_t i = 0; i < f * 3; ++i) {
-      const int64_t ti = m.texcoord_indices[i];
-      uv[i * 2 + 0] = obj->texcoords[ti * 2 + 0];
-      uv[i * 2 + 1] = obj->texcoords[ti * 2 + 1];
-    }
-  } else {
-    std::memset(uv, 0, sizeof(float) * f * 3 * 2);
+  std::memset(uv, 0, sizeof(float) * f * 3 * 2);
+  for (int64_t i = 0; i < static_cast<int64_t>(m.texcoord_indices.size()); ++i) {
+    const int64_t ti = m.texcoord_indices[i];
+    if (ti < 0) continue;  // corner without vt keeps (0, 0)
+    uv[i * 2 + 0] = obj->texcoords[ti * 2 + 0];
+    uv[i * 2 + 1] = obj->texcoords[ti * 2 + 1];
   }
 }
 

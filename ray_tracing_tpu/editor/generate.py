@@ -45,10 +45,9 @@ def generate(
             return built_textures[key]
         t = doc.textures[key]
         kind, values = t.texture
-        children = {}
         for prop, value in zip(TEXTURE_TYPES[kind].properties(), values):
             if isinstance(prop, TextureProperty) and value is not None:
-                children[value] = build_texture(value)
+                build_texture(value)  # populate built_textures for apply
         built_textures[key] = TEXTURE_TYPES[kind].apply(values, built_textures)
         return built_textures[key]
 

@@ -129,8 +129,30 @@ class EditorSession:
     def state_json(self) -> Dict[str, Any]:
         doc = self.tree.document
         a = analyze(doc)
+
+        def spec(s):
+            # (kind, values) -> the editor-value payload the forms
+            # preload so "apply" round-trips unedited fields instead of
+            # resetting them to registry defaults
+            if s is None:
+                return None
+            return {"kind": s[0], "values": _values_to_json(list(s[1]))}
+
         return {
             "document": document_to_json(doc),
+            "values": {
+                "objects": {
+                    str(k): spec(o.shape) for k, o in doc.objects.items()
+                    if getattr(o, "shape", None) is not None
+                },
+                "textures": {
+                    str(k): spec(t.texture) for k, t in doc.textures.items()
+                },
+                "materials": {
+                    str(k): spec(m.material) for k, m in doc.materials.items()
+                },
+                "camera": spec(doc.camera),
+            },
             "analysis": {
                 "valid_textures": [str(k) for k in a.valid_textures],
                 "valid_materials": [str(k) for k in a.valid_materials],
@@ -389,6 +411,9 @@ function formFor(kindMap, current, onApply, texOptions) {
 
 function setFieldValues(f, kindMap, payload) {
   if (!payload) return;
+  if (payload.kind && f.sel.value !== payload.kind) {
+    f.sel.value = payload.kind; f.sel.onchange();
+  }
   const inputs = [...f.fields.querySelectorAll('input,select')];
   payload.values.forEach((v, i) => {
     const inp = inputs[i]; if (!inp) return;
@@ -424,24 +449,21 @@ function drawForm() {
       const f = formFor(registries.shapes, o.shape,
         (kind, values) => edit({action:'set_shape', key:selected, kind, values}), texOptions);
       host.appendChild(f.div);
-      if (o.shape) setFieldValues(f, registries.shapes, {values: shapeValues(o.shape)});
+      setFieldValues(f, registries.shapes, state.values.objects[selected]);
     }
   } else if (selKind === 'material') {
     const m = doc.materials[selected]; if (!m) { selected = null; return; }
     const f = formFor(registries.materials, m,
       (kind, values) => edit({action:'set_material', key:selected, kind, values}), texOptions);
     host.appendChild(f.div);
+    setFieldValues(f, registries.materials, state.values.materials[selected]);
   } else if (selKind === 'texture') {
     const t = doc.textures[selected]; if (!t) { selected = null; return; }
     const f = formFor(registries.textures, t,
       (kind, values) => edit({action:'set_texture', key:selected, kind, values}), texOptions);
     host.appendChild(f.div);
+    setFieldValues(f, registries.textures, state.values.textures[selected]);
   }
-}
-function shapeValues(shape) {
-  // server serializes shape payloads through plugin to_json; the form
-  // round-trips via from_json server-side, so here we only preset kind
-  return [];
 }
 
 function drawCamera() {
@@ -449,6 +471,7 @@ function drawCamera() {
   const f = formFor(registries.cameras, state.document.camera,
     (kind, values) => edit({action:'set_camera', kind, values}), []);
   host.appendChild(f.div);
+  setFieldValues(f, registries.cameras, state.values.camera);
 }
 
 function drawRenderer() {
@@ -555,9 +578,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._json({"error": f"{type(e).__name__}: {e}"}, 500)
 
     def do_POST(self):
-        length = int(self.headers.get("Content-Length", 0))
-        body = json.loads(self.rfile.read(length) or b"{}")
         try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
             with self.session.lock:
                 if self.path == "/api/edit":
                     self.session.apply_edit(body)

@@ -405,7 +405,8 @@ class SceneBuilder:
         tex = self._textures[idx]
         if tex["type"] != TEX_CHECKER:
             return 0
-        assert idx not in visiting, "texture cycle"
+        if idx in visiting:  # not assert: must survive python -O
+            raise ValueError("texture cycle")
         visiting.add(idx)
         d = 1 + max(
             self._checker_depth(tex["odd"], visiting),
@@ -679,7 +680,8 @@ class _JsonVisitor:
         if isinstance(spec, str):
             if spec in self.tex_memo:
                 return self.tex_memo[spec]
-            assert ("tex:" + spec) not in self.visiting, "texture cycle"
+            if ("tex:" + spec) in self.visiting:
+                raise ValueError(f"texture cycle through {spec!r}")
             self.visiting.add("tex:" + spec)
             idx = self._texture_def(self.name_textures[spec])
             self.visiting.remove("tex:" + spec)
@@ -717,7 +719,8 @@ class _JsonVisitor:
         if isinstance(spec, str):
             if spec in self.mat_memo:
                 return self.mat_memo[spec]
-            assert ("mat:" + spec) not in self.visiting, "material cycle"
+            if ("mat:" + spec) in self.visiting:
+                raise ValueError(f"material cycle through {spec!r}")
             self.visiting.add("mat:" + spec)
             idx = self._material_def(self.name_materials[spec])
             self.visiting.remove("mat:" + spec)

@@ -100,29 +100,38 @@ def parse_obj(path: str) -> ObjFile:
                     )
                     corners.append((vi, ti, ni))
                 m = models[-1]
-                # fan triangulation
+                # fan triangulation; keep fn/ft ROW-ALIGNED with f via
+                # -1 sentinels (a file mixing 'f a//n ...' and 'f a ...'
+                # faces must not pair face i with face j's normals)
                 for a in range(1, len(corners) - 1):
                     tri = (corners[0], corners[a], corners[a + 1])
                     m["f"].append([c[0] for c in tri])
+                    m["fn"].append(
+                        [c[2] if c[2] is not None else -1 for c in tri]
+                    )
+                    m["ft"].append(
+                        [c[1] if c[1] is not None else -1 for c in tri]
+                    )
                     if all(c[2] is not None for c in tri):
-                        m["fn"].append([c[2] for c in tri])
                         m["has_n"] = True
                     if all(c[1] is not None for c in tri):
-                        m["ft"].append([c[1] for c in tri])
                         m["has_t"] = True
 
     out_models = []
     for m in models:
         if not m["f"]:
             continue
+        fn = np.asarray(m["fn"], np.int64)
+        ft = np.asarray(m["ft"], np.int64)
         out_models.append(
             ObjModel(
                 name=m["name"],
                 indices=np.asarray(m["f"], np.int64),
-                normal_indices=np.asarray(m["fn"], np.int64) if m["has_n"] else None,
-                texcoord_indices=(
-                    np.asarray(m["ft"], np.int64) if m["has_t"] else None
-                ),
+                # all-or-nothing per model, like the reference's tobj
+                # path (obj.rs:64-70): ANY corner without vn -> smooth
+                # vertex normals for the whole model
+                normal_indices=fn if m["has_n"] and (fn >= 0).all() else None,
+                texcoord_indices=ft if m["has_t"] else None,
             )
         )
     return ObjFile(
@@ -172,7 +181,11 @@ def mesh_triangles(
         nrm = vertex_n[m.indices]
 
     if m.texcoord_indices is not None:
-        uvs = obj.texcoords[m.texcoord_indices]
+        # corners without a vt (-1 sentinel) read uv (0, 0)
+        safe = np.maximum(m.texcoord_indices, 0)
+        uvs = np.where(
+            (m.texcoord_indices >= 0)[..., None], obj.texcoords[safe], 0.0
+        )
     else:
         uvs = np.zeros((pts.shape[0], 3, 2), np.float32)
 

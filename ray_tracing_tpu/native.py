@@ -106,7 +106,13 @@ def obj_triangles(
         if model is None:
             midx = 0
         elif isinstance(model, int):
-            midx = model
+            # bounds-check HERE: C++ models[model] is UB out of range,
+            # and list[-1] semantics must match the Python fallback
+            midx = model if model >= 0 else n_models + model
+            if not 0 <= midx < n_models:
+                raise IndexError(
+                    f"model index {model} out of range ({n_models} models)"
+                )
         else:
             names = [
                 lib.rt_obj_model_name(handle, i).decode() for i in range(n_models)

@@ -35,7 +35,11 @@ def save_hdr(path: str, rgb: np.ndarray) -> None:
     scale = np.where(brightest > 1e-32, mant * 256.0 / np.maximum(brightest, 1e-32), 0.0)
     rgbe = np.zeros((h, w, 4), np.uint8)
     rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
-    rgbe[..., 3] = np.where(brightest > 1e-32, exp + 128, 0).astype(np.uint8)
+    # exponent byte saturates at 255 (a ~2^127 firefly must clamp to the
+    # max representable value, not wrap to an all-zero "black" pixel)
+    rgbe[..., 3] = np.where(
+        brightest > 1e-32, np.minimum(exp + 128, 255), 0
+    ).astype(np.uint8)
     with open(path, "wb") as fh:
         fh.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
         fh.write(f"-Y {h} +X {w}\n".encode())

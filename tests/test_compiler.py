@@ -134,7 +134,7 @@ def test_texture_cycle_detected():
             }
         ],
     }
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="cycle"):
         build_scene(param)
 
 

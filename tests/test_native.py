@@ -128,3 +128,51 @@ def test_scene_json_uses_native_and_matches_python(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(b_n.node_min), np.asarray(b_p.node_min)
     )
+
+
+def test_mixed_face_obj_native_matches_python(tmp_path):
+    """An OBJ mixing faces with and without vn/vt must load with aligned
+    per-face data on BOTH paths (the misaligned version paired face i
+    with face j's normals or read out of bounds)."""
+    import numpy as np
+
+    from ray_tracing_tpu import native
+    from ray_tracing_tpu.models import mesh as pymesh
+
+    obj = tmp_path / "mixed.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\n"
+        "f 1/1/1 2/2/2 3/3/3\n"   # full spec
+        "f 2 4 3\n"               # positions only
+    )
+    pf = pymesh.load_triangles(str(obj))
+    nf = native.obj_triangles(str(obj))
+    assert nf is not None, "native lib unavailable"
+    for a, b, name in zip(pf, nf, ("pts", "nrm", "uv")):
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+    pts, nrm, uv = pf
+    assert pts.shape == (2, 3, 3)
+    # mixed normals -> all-or-nothing smooth vertex normals, unit length
+    assert np.allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+    # the no-vt face reads uv (0,0)
+    assert np.allclose(uv[1], 0.0)
+
+
+def test_obj_model_index_bounds_checked(tmp_path):
+    """Out-of-range integer model indices raise IndexError instead of
+    invoking C++ UB; negative indices follow Python list semantics."""
+    import numpy as np
+    import pytest
+
+    from ray_tracing_tpu import native
+
+    obj = tmp_path / "one.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    ok = native.obj_triangles(str(obj), model=0)
+    neg = native.obj_triangles(str(obj), model=-1)
+    assert ok is not None and neg is not None
+    np.testing.assert_array_equal(ok[0], neg[0])
+    with pytest.raises(IndexError):
+        native.obj_triangles(str(obj), model=3)

@@ -179,3 +179,19 @@ def test_medium_generic_boundaries_via_api():
     )
     data = scene.compile()
     assert data.n_medium == 3
+
+
+def test_shared_texture_builds_once():
+    """A texture object reused by two materials (and a checker child)
+    maps to one table entry — one atlas slot / differentiable slot."""
+    import numpy as np
+
+    import v4ray_tpu as v4ray
+
+    img = np.full((4, 4, 3), 128, np.uint8)
+    tex = v4ray.texture.Image(img)
+    s = v4ray.Scene(background=(0, 0, 0))
+    s.add(v4ray.shape.Sphere((0, 0, -3), 1.0), v4ray.material.Lambertian(tex))
+    s.add(v4ray.shape.Sphere((2, 0, -3), 1.0), v4ray.material.Isotropic(tex))
+    scene = s.compile()
+    assert scene.textures.images.shape[0] == 1  # not duplicated

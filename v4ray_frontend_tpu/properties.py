@@ -161,9 +161,45 @@ def fields_valid(fields: Sequence[AnyProperty], values: Sequence[Any]) -> bool:
     is invalid, never silently zip-truncated."""
     if len(values) != len(fields):
         return False
-    return all(
-        f.check is None or f.check(v) for f, v in zip(fields, values)
-    )
+
+    import numbers
+
+    def typed_ok(f, v):
+        # per-type gate BEFORE any custom check: client data is
+        # unvalidated (a cleared web-form number arrives as None).
+        # numbers.Real admits numpy scalars (scene generators use them)
+        if isinstance(f, FloatProperty):
+            return (
+                isinstance(v, numbers.Real)
+                and not isinstance(v, bool)
+                and float(v) == float(v)  # NaN-reject
+            )
+        if isinstance(f, ColorProperty):
+            return (
+                isinstance(v, (tuple, list)) and len(v) == 3
+                and all(
+                    isinstance(c, numbers.Integral)
+                    and not isinstance(c, bool) and 0 <= c <= 255
+                    for c in v
+                )
+            )
+        if isinstance(f, TextureProperty):
+            return v is None or isinstance(v, UUID)
+        return True
+
+    def ok(f, v):
+        if not typed_ok(f, v):
+            return False
+        if f.check is None:
+            return True
+        try:
+            return bool(f.check(v))
+        except (TypeError, ValueError):
+            # malformed means invalid, never an exception out of
+            # analyze()
+            return False
+
+    return all(ok(f, v) for f, v in zip(fields, values))
 
 
 def texture_refs(fields: Sequence[AnyProperty],

@@ -3,6 +3,8 @@ src/material/*.rs pyclasses) plus JSON-only material types."""
 
 from __future__ import annotations
 
+from v4ray_tpu.texture import build_memo
+
 from typing import Tuple
 
 
@@ -13,7 +15,7 @@ class Lambertian:
         self.texture = texture
 
     def _build(self, b) -> int:
-        return b.add_lambertian(self.texture._build(b))
+        return b.add_lambertian(build_memo(b, self.texture))
 
 
 class Metal:
@@ -44,7 +46,7 @@ class DiffuseLight:
         self.emit = emit
 
     def _build(self, b) -> int:
-        return b.add_diffuse_light(self.emit._build(b))
+        return b.add_diffuse_light(build_memo(b, self.emit))
 
 
 class Isotropic:
@@ -54,4 +56,4 @@ class Isotropic:
         self.albedo = albedo
 
     def _build(self, b) -> int:
-        return b.add_isotropic(self.albedo._build(b))
+        return b.add_isotropic(build_memo(b, self.albedo))

@@ -8,6 +8,20 @@ from typing import Tuple
 import numpy as np
 
 
+def build_memo(b, tex) -> int:
+    """Build ``tex`` into builder ``b`` once per compile: a texture
+    object shared by several materials (or checker children) must map to
+    ONE table entry — one atlas slot, one differentiable parameter —
+    mirroring Scene.compile's material memo."""
+    memo = getattr(b, "_v4ray_tex_memo", None)
+    if memo is None:
+        memo = b._v4ray_tex_memo = {}
+    key = id(tex)
+    if key not in memo:
+        memo[key] = tex._build(b)
+    return memo[key]
+
+
 class SolidColor:
     """reference src/texture/solid_color.rs."""
 
@@ -28,7 +42,7 @@ class Checker:
 
     def _build(self, b) -> int:
         return b.add_texture_checker(
-            self.odd._build(b), self.even._build(b), self.density
+            build_memo(b, self.odd), build_memo(b, self.even), self.density
         )
 
 
