@@ -276,3 +276,51 @@ def test_render_to_noise_converges_and_stops():
     np.testing.assert_allclose(
         img_loose, np.asarray(acc) / n_loose, rtol=1e-5, atol=1e-6
     )
+
+
+def test_golden_regression_scene_json():
+    """Golden for the mesh + instancing-transform + constant-medium
+    scene (data/scene.json) — the feature surface zy lacks.  Regenerate
+    deliberately on estimator/RNG-layout changes (same recipe as
+    test_golden_regression_zy)."""
+    import os
+
+    from ray_tracing_tpu import load_scene_json
+
+    bd = load_scene_json("data/scene.json")
+    r = Renderer(
+        RendererParam(32, 32, max_depth=4), bd.camera, bd.scene,
+        tile_size=1024, compaction=False, early_exit=False,
+    )
+    img = np.asarray(r.render(42))
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden",
+                     "scene_32_d4_key42.npy")
+    )
+    np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_golden_regression_earth_texture():
+    """Golden for the image-texture (atlas gather, UV orientation)
+    surface via the C3 earth scene."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    try:
+        from render_baselines import scene_c3
+    finally:
+        sys.path.pop(0)
+
+    b, cam = scene_c3()
+    r = Renderer(
+        RendererParam(32, 32, max_depth=4), cam, b.build(),
+        tile_size=1024, compaction=False, early_exit=False,
+    )
+    img = np.asarray(r.render(42))
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden",
+                     "earth_32_d4_key42.npy")
+    )
+    np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
