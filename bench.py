@@ -99,10 +99,15 @@ def main():
     tile = _pick_tile_size(WIDTH * HEIGHT, n_prims)
     use_ad = os.environ.get("RAY_TPU_BENCH_AD") == "1"
 
+    # NB: the scene is ALWAYS a jit argument below, never a closure.  A
+    # closed-over scene is inlined into the HLO as literal text — with
+    # the earthmap atlas that is a 15M-char program (measured) vs 2.7M
+    # with arguments, and the big-literal program is what the flaky
+    # remote TPU compiler chokes on (CLAUDE.md hazard list).
     if use_ad:
         # legacy AD path: rematerialized dense scan
-        def fwd(colors, key):
-            s = scene.replace(textures=scene.textures.replace(color=colors))
+        def fwd(colors, s, key):
+            s = s.replace(textures=s.textures.replace(color=colors))
             img, segs = render_pass(
                 s, camera, key,
                 width=WIDTH, height=HEIGHT, max_depth=max_depth,
@@ -121,7 +126,7 @@ def main():
         n = WIDTH * HEIGHT
         n_tiles = n // tile
 
-        def fwd(params, key):
+        def fwd(params, s, key):
             k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
             st = sample_st(k_st, WIDTH, HEIGHT, True)
             u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
@@ -134,8 +139,9 @@ def main():
             def tile_sum(args):
                 ro_t, rd_t, tid = args
                 rad = prb_radiance_all(
-                    params, scene, ro_t, rd_t,
+                    params, s, ro_t, rd_t,
                     jax.random.fold_in(k_trace, tid), max_depth,
+                    static_scene=scene,  # concrete rows; s stays traced
                 )
                 return jnp.sum(rad)
 
@@ -143,8 +149,10 @@ def main():
             return total / (n * 3), jnp.zeros(())
 
     @jax.jit
-    def fwd_bwd(params, key):
-        (loss, segs), g = jax.value_and_grad(fwd, has_aux=True)(params, key)
+    def fwd_bwd(params, s, key):
+        (loss, segs), g = jax.value_and_grad(fwd, has_aux=True)(
+            params, s, key
+        )
         return loss, segs, g
 
     bench_params = scene.textures.color if use_ad else params_of(scene)
@@ -152,23 +160,26 @@ def main():
     # untimed: traced-segment counts for the benchmark keys (the honest
     # rays/s numerator, identical keys to the timed passes)
     count_fn = jax.jit(
-        lambda key: render_pass(
-            scene, camera, key, width=WIDTH, height=HEIGHT,
+        lambda s, c, key: render_pass(
+            s, c, key, width=WIDTH, height=HEIGHT,
             max_depth=max_depth, antialias=True, tile_size=tile,
             compaction=not use_ad, with_stats=True,
         )[1]
     )
-    seg_counts = [float(count_fn(jax.random.key(i))) for i in range(1, PASSES + 1)]
+    seg_counts = [
+        float(count_fn(scene, camera, jax.random.key(i)))
+        for i in range(1, PASSES + 1)
+    ]
 
     # compile + warmup (float() forces a real host sync; block_until_ready
     # does not block through the axon tunnel)
-    loss, segs, g = fwd_bwd(bench_params, jax.random.key(0))
+    loss, segs, g = fwd_bwd(bench_params, scene, jax.random.key(0))
     float(loss)
 
     t0 = time.perf_counter()
     total_segments = 0.0
     for i in range(1, PASSES + 1):
-        loss, segs, g = fwd_bwd(bench_params, jax.random.key(i))
+        loss, segs, g = fwd_bwd(bench_params, scene, jax.random.key(i))
         float(loss)
         total_segments += seg_counts[i - 1] if not use_ad else float(segs)
     dt = time.perf_counter() - t0
