@@ -24,6 +24,14 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )  # runnable as `python examples/<name>.py` without installing
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _data(rel):
+    """Resolve a repo-relative data path regardless of the cwd."""
+    return rel if os.path.exists(rel) else os.path.join(_REPO, rel)
+
+
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     # some containers pin another platform in sitecustomize, overriding
     # the env var; re-assert the documented CPU recipe in-process
@@ -46,7 +54,7 @@ def scene_c3():
     from PIL import Image
 
     b = SceneBuilder(background=(0.7, 0.8, 1.0))
-    with Image.open("data/earthmap.jpg") as im:
+    with Image.open(_data("data/earthmap.jpg")) as im:
         earth_tex = b.add_texture_image(np.asarray(im.convert("RGB")))
     earth = b.add_lambertian(earth_tex)
     ground = b.add_lambertian(b.add_texture_solid((0.6, 0.6, 0.6)))
@@ -67,7 +75,7 @@ def scene_c4():
     b = SceneBuilder(background=(0.7, 0.8, 1.0))
     white = b.add_lambertian(b.add_texture_solid((0.73, 0.73, 0.73)))
     ground = b.add_lambertian(b.add_texture_solid((0.4, 0.5, 0.4)))
-    pts, nrm, uvs = load_triangles("data/bunny.obj")
+    pts, nrm, uvs = load_triangles(_data("data/bunny.obj"))
     b.add_mesh_triangles(pts, nrm, uvs, white)
     b.add_rect("zx", -5, 5, -5, 5, 0.033, ground, positive=True)
     cam = CameraParam((-0.2, 0.25, 0.35), (-0.02, 0.1, 0.0), 35)
@@ -94,10 +102,10 @@ def main():
 
     def build(name):
         if name == "C1":
-            bd = load_scene_json("data/scene.json")
+            bd = load_scene_json(_data("data/scene.json"))
             return bd.scene, bd.camera, 256, 16
         if name == "C2":
-            bd = load_scene_json("data/zy_scene.json")
+            bd = load_scene_json(_data("data/zy_scene.json"))
             return bd.scene, bd.camera, 512, 64
         if name == "C3":
             b, cam = scene_c3()
@@ -106,7 +114,7 @@ def main():
             b, cam = scene_c4()
             return b.build(), cam, 512, 128
         if name == "C5":
-            bd = load_scene_json("data/zy_scene.json")
+            bd = load_scene_json(_data("data/zy_scene.json"))
             return bd.scene, bd.camera, 1024, 256
         raise KeyError(name)
 
