@@ -49,13 +49,20 @@ AD_TIMEOUT_S = 1200
 
 
 def orchestrate() -> int:
-    for mode, timeout in (("prb", PRB_TIMEOUT_S), ("ad", AD_TIMEOUT_S)):
+    # last resort: if the TPU service is unreachable (observed multi-hour
+    # axon outages), record an honestly-labeled CPU measurement instead
+    # of nothing — the metric name and note say exactly what it is.
+    for mode, timeout in (
+        ("prb", PRB_TIMEOUT_S), ("ad", AD_TIMEOUT_S), ("cpu", PRB_TIMEOUT_S)
+    ):
         env = dict(os.environ)
         env["_BENCH_INNER"] = "1"
+        env.pop("RAY_TPU_BENCH_AD", None)
+        env.pop("RAY_TPU_BENCH_CPU", None)
         if mode == "ad":
             env["RAY_TPU_BENCH_AD"] = "1"
-        else:
-            env.pop("RAY_TPU_BENCH_AD", None)
+        elif mode == "cpu":
+            env["RAY_TPU_BENCH_CPU"] = "1"
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -81,6 +88,11 @@ def main():
     import os
 
     import jax
+
+    force_cpu = os.environ.get("RAY_TPU_BENCH_CPU") == "1"
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from ray_tracing_tpu.utils.cache import enable_compile_cache
@@ -185,16 +197,20 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_s = total_segments / dt
-    print(
-        json.dumps(
-            {
-                "metric": "zy_scene 1024^2 fwd+bwd rays/s/chip",
-                "value": rays_per_s,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_s / REFERENCE_RAYS_PER_S,
-            }
+    rec = {
+        "metric": "zy_scene 1024^2 fwd+bwd rays/s/chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / REFERENCE_RAYS_PER_S,
+    }
+    if force_cpu:
+        rec["metric"] += " (CPU FALLBACK)"
+        rec["note"] = (
+            "TPU service unreachable at bench time; this is the same "
+            "program measured on the host CPU and is NOT the headline "
+            "TPU number (last recorded TPU: 5.50 Mrays/s, BENCH_r01)"
         )
-    )
+    print(json.dumps(rec))
     # secondary diagnostics on stderr (driver reads stdout JSON only)
     print(
         f"# passes={PASSES} dt={dt:.3f}s segments={total_segments:.3e} "
