@@ -525,9 +525,18 @@ class SceneBuilder:
             ),
         )
         if nt:
-            from ray_tracing_tpu.models.scene import pack_triangle_sweep
+            from ray_tracing_tpu.models.scene import (
+                pack_triangle_clusters,
+                pack_triangle_sweep,
+            )
 
             triangles = pack_triangle_sweep(triangles)
+            if bvh is not None:
+                # Morton order (from _build_bvh) is what makes contiguous
+                # chunks spatially tight clusters; without a BVH the
+                # table is in authoring order and clustering would be
+                # useless, so it is only packed alongside one.
+                triangles = pack_triangle_clusters(triangles)
 
         nr = len(self._rects)
         rects = RectTable(

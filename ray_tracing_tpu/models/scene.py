@@ -82,6 +82,18 @@ class TriangleTable:
     sw_g1: jnp.ndarray = None  # (T, 3) e13 x (v0 - origin)
     sw_g2: jnp.ndarray = None  # (T, 3) e12 x (v0 - origin)
     sw_d0: jnp.ndarray = None  # (T,) (v0 - origin) . n
+    # two-level cluster sweep (ops/geometry.py:triangle_cluster_sweep_t):
+    # the same sweep constants re-cut into K Morton-contiguous clusters
+    # of C triangles with per-cluster AABBs (translated by sw_origin);
+    # None when the table was built without pack_triangle_clusters
+    cl_lo: jnp.ndarray = None  # (K, 3) f32 cluster AABB min - sw_origin
+    cl_hi: jnp.ndarray = None  # (K, 3)
+    cl_e12: jnp.ndarray = None  # (K, C, 3)
+    cl_e13: jnp.ndarray = None  # (K, C, 3)
+    cl_n: jnp.ndarray = None  # (K, C, 3); zero rows = padding (det masks out)
+    cl_g1: jnp.ndarray = None  # (K, C, 3)
+    cl_g2: jnp.ndarray = None  # (K, C, 3)
+    cl_d0: jnp.ndarray = None  # (K, C)
 
     def __len__(self):
         return self.v0.shape[0]
@@ -89,6 +101,10 @@ class TriangleTable:
     @property
     def has_sweep(self) -> bool:
         return self.sw_n is not None
+
+    @property
+    def has_clusters(self) -> bool:
+        return self.cl_d0 is not None
 
 
 def pack_triangle_sweep(tris: TriangleTable) -> TriangleTable:
@@ -101,6 +117,63 @@ def pack_triangle_sweep(tris: TriangleTable) -> TriangleTable:
     return tris.replace(
         sw_origin=_f32(origin), sw_n=_f32(n), sw_g1=_f32(g1),
         sw_g2=_f32(g2), sw_d0=_f32(d0),
+    )
+
+
+# Cluster width for the two-level sweep.  Measured on TPU v5e (16-bunny
+# grid, 79,488 tris, 512^2): C=4096 with tile 2048 = 2.88 s/pass vs
+# 5.7 (C=512), 4.6 (C=2048), 3.4 (C=8192+) — wide enough that the dense
+# inner sweep amortizes the per-cluster cond, small enough that a
+# coherent ray block still skips most of the mesh.  Override
+# per-process with RAY_TPU_CLUSTER for A/B runs.
+CLUSTER_SIZE = 4096
+
+
+def pack_triangle_clusters(tris: TriangleTable, cluster_size: int = None) -> TriangleTable:
+    """Cut a Morton-sorted, sweep-packed triangle table into contiguous
+    clusters for :func:`ops.geometry.triangle_cluster_sweep_t` (host,
+    numpy).  Padding rows get ``n = 0`` so their det masks out; the
+    per-cluster AABBs use the same degenerate-triangle padding as the
+    LBVH build (flat axes grown by 1e-3, models/compiler.py:_build_bvh)
+    and are stored translated by ``sw_origin`` so the kernel's slab test
+    shares the sweep's cancellation-safe frame."""
+    import os
+
+    if not tris.has_sweep:
+        raise ValueError("pack_triangle_clusters needs sweep constants first")
+    c = cluster_size or int(os.environ.get("RAY_TPU_CLUSTER", CLUSTER_SIZE))
+    t = len(tris)
+    if t == 0:
+        return tris
+    k = -(-t // c)
+    pad = k * c - t
+
+    def padded(x, fill=0.0):
+        x = np.asarray(x, np.float32)
+        if pad:
+            x = np.concatenate(
+                [x, np.full((pad,) + x.shape[1:], fill, np.float32)]
+            )
+        return x.reshape((k, c) + x.shape[1:])
+
+    v0 = np.asarray(tris.v0, np.float32)
+    v1 = v0 + np.asarray(tris.e12, np.float32)
+    v2 = v0 + np.asarray(tris.e13, np.float32)
+    origin = np.asarray(tris.sw_origin, np.float32)
+    tmin = np.minimum(np.minimum(v0, v1), v2) - origin
+    tmax = np.maximum(np.maximum(v0, v1), v2) - origin
+    flat = tmax - tmin == 0.0
+    tmin = np.where(flat, tmin - 1e-3, tmin)
+    tmax = np.where(flat, tmax + 1e-3, tmax)
+    return tris.replace(
+        cl_lo=_f32(padded(tmin, np.inf).min(axis=1)),
+        cl_hi=_f32(padded(tmax, -np.inf).max(axis=1)),
+        cl_e12=_f32(padded(tris.e12)),
+        cl_e13=_f32(padded(tris.e13)),
+        cl_n=_f32(padded(tris.sw_n)),
+        cl_g1=_f32(padded(tris.sw_g1)),
+        cl_g2=_f32(padded(tris.sw_g2)),
+        cl_d0=_f32(padded(tris.sw_d0)),
     )
 
 

@@ -252,6 +252,96 @@ def triangle_sweep_t(ro, rd, e12, e13, origin, n, g1, g2, d0, t_min, t_max):
     return t, mask
 
 
+def triangle_cluster_sweep_t(
+    ro, rd, origin, cl_lo, cl_hi,
+    cl_e12, cl_e13, cl_n, cl_g1, cl_g2, cl_d0,
+    t_min, t_max,
+):
+    """Two-level cluster sweep: the large-mesh replacement for both the
+    dense (N, T) sweep (HBM-quadratic) and the skip-link BVH walk
+    (divergence/gather-bound; reference src/bvh/bvh.rs:182-239).
+
+    Triangles arrive Morton-sorted (models/compiler.py:_build_bvh), cut
+    into K contiguous clusters of C triangles with per-cluster AABBs.
+    A ``lax.scan`` visits clusters in order; each step slab-tests the
+    whole ray block against one AABB (branch-free, (N,) work) and only
+    when ANY ray's interval [t_min, min(best_t, t_max)] overlaps does a
+    scalar ``lax.cond`` fire the dense (N, C) triple-product sweep for
+    that cluster.  Coherent ray blocks skip most clusters (the Morton
+    order keeps spatially close triangles in the same cluster), while
+    the inner sweep stays pure VPU FMAs — no per-ray pointer chase, no
+    scalar-unit gathers.  The shrinking per-ray ``best_t`` both culls
+    later clusters and tightens their inner sweeps.
+
+    Tie rule matches the dense sweep's argmin exactly: within a cluster
+    the lowest local index wins, across clusters a later cluster must be
+    strictly nearer — so equal-t ties resolve to the lowest global
+    index, and (t, idx) is bit-identical to ``triangle_sweep_t`` +
+    argmin whenever no cluster is (correctly) culled.
+
+    ro, rd: (N, 3); origin: (3,) shared translated origin (same one the
+    sweep constants were built against — cl_lo/cl_hi are stored already
+    translated); cl_lo/cl_hi: (K, 3); cl_e12/cl_e13/cl_n/cl_g1/cl_g2:
+    (K, C, 3); cl_d0: (K, C).  Padded rows carry n == 0 so their det
+    masks out.  Returns (t_best, index, mask) each (N,).
+    """
+    from jax import lax
+
+    n_rays = ro.shape[0]
+    k, c = cl_d0.shape
+    ro_s = ro - origin
+    m = cross(ro_s, rd)
+    # IEEE 1/0 = inf is what the slab test wants; 0*inf NaNs only when
+    # ro sits exactly on a slab plane of a parallel ray — the same
+    # corner the BVH walk (aabb_hit) accepts, and NaN near/far fails
+    # the <= comparisons, i.e. a conservative miss, identical there.
+    inv_rd = 1.0 / rd
+
+    def sweep(carry, xs):
+        best_t, best_i = carry
+        lo, hi, e12, e13, nrm, g1, g2, d0, base = xs
+        t0 = (lo[None, :] - ro_s) * inv_rd
+        t1 = (hi[None, :] - ro_s) * inv_rd
+        near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
+        far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_max)
+        window = jnp.minimum(best_t, t_max)
+        alive = (near <= jnp.minimum(far, window))
+
+        def hit_cluster(carry):
+            best_t, best_i = carry
+            det = -_bdot3(rd, nrm)
+            mask = jnp.abs(det) > 0.0
+            inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+            u = inv * (_bdot3(m, e13) - _bdot3(rd, g1))
+            mask = mask & (u >= 0.0) & (u <= 1.0)
+            v = inv * (_bdot3(rd, g2) - _bdot3(m, e12))
+            mask = mask & (v >= 0.0) & (u + v <= 1.0)
+            t = inv * (_bdot3(ro_s, nrm) - d0[None, :])
+            mask = mask & (t >= t_min) & (t <= t_max)
+            tm = jnp.where(mask, t, INF)
+            li = jnp.argmin(tm, axis=1).astype(jnp.int32)
+            tb = jnp.take_along_axis(tm, li[:, None], axis=1)[:, 0]
+            better = tb < best_t  # strict: earlier cluster keeps ties
+            return (
+                jnp.where(better, tb, best_t),
+                jnp.where(better, base + li, best_i),
+            )
+
+        carry = lax.cond(jnp.any(alive), hit_cluster, lambda cr: cr, carry)
+        return carry, None
+
+    init = (
+        jnp.full((n_rays,), INF, dtype=jnp.float32),
+        jnp.zeros((n_rays,), dtype=jnp.int32),
+    )
+    base = jnp.arange(k, dtype=jnp.int32) * c
+    (t_best, idx), _ = lax.scan(
+        sweep, init,
+        (cl_lo, cl_hi, cl_e12, cl_e13, cl_n, cl_g1, cl_g2, cl_d0, base),
+    )
+    return t_best, idx, t_best < INF
+
+
 # Rect axis permutations: variant -> (idx0, idx1, idx2) where idx2 is the
 # plane axis (reference aa_rect.rs rect_shape! instantiations):
 #   0 = XYRect (x0 x1 y0 y1, k on z), 1 = YZRect (y0 y1 z0 z1, k on x),

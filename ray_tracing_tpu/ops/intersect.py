@@ -129,16 +129,19 @@ def _triangle_phase_a(scene: SceneData, ro, rd, t_min, t_max):
 
 
 # Above this triangle count the dense sweep's O(N*T) work loses to the
-# O(N*log T)-ish BVH walk; below it the sweep's branch-free VPU FMAs win
-# by an order of magnitude (bunny 512^2: 19.6 s/pass BVH -> sweep, see
-# git log).  Override with RAY_TPU_MESH=sweep|bvh|brute.
+# two-level cluster sweep (and that to nothing: it subsumes the BVH walk
+# for every mesh size we can build); below it the flat sweep's
+# branch-free VPU FMAs win by an order of magnitude (bunny 512^2:
+# 19.6 s/pass BVH -> sweep, see git log).  Override with
+# RAY_TPU_MESH=sweep|cluster|bvh|brute.
 SWEEP_MAX_TRIS = 32768
 
 
 def mesh_strategy(scene: SceneData) -> str:
     """Static choice of triangle intersection strategy: 'sweep' (dense
-    triple-product grid), 'bvh' (skip-link traversal), or 'brute'
-    (legacy broadcast Möller–Trumbore for tables without sweep data)."""
+    triple-product grid), 'cluster' (two-level AABB-culled sweep for
+    large meshes), 'bvh' (skip-link traversal), or 'brute' (legacy
+    broadcast Möller–Trumbore for tables without sweep data)."""
     if scene.n_triangles == 0:
         return "none"
     mode = os.environ.get("RAY_TPU_MESH", "auto")
@@ -159,10 +162,20 @@ def mesh_strategy(scene: SceneData) -> str:
                 "fall back silently"
             )
         return "sweep"
+    if mode == "cluster":
+        if not scene.triangles.has_clusters:
+            raise ValueError(
+                "RAY_TPU_MESH=cluster requested but the triangle table "
+                "has no cluster data (pack_triangle_clusters, built "
+                "alongside the BVH); refusing to fall back silently"
+            )
+        return "cluster"
     if mode == "brute":
         return "brute"
     if scene.triangles.has_sweep and scene.n_triangles <= SWEEP_MAX_TRIS:
         return "sweep"
+    if scene.triangles.has_clusters:
+        return "cluster"
     if scene.bvh is not None:
         return "bvh"
     return "sweep" if scene.triangles.has_sweep else "brute"
@@ -177,6 +190,17 @@ def _triangle_sweep_phase_a(scene: SceneData, ro, rd, t_min, t_max):
         sg(ro), sg(rd), sg(tr.e12), sg(tr.e13), sg(tr.sw_origin),
         sg(tr.sw_n), sg(tr.sw_g1), sg(tr.sw_g2), sg(tr.sw_d0),
         t_min, t_max,
+    )
+
+
+def _triangle_cluster_phase_a(scene: SceneData, ro, rd, t_min, t_max):
+    """Selection-only two-level cluster sweep; per-ray (t, idx, mask)."""
+    tr = scene.triangles
+    sg = jax.lax.stop_gradient
+    return geo.triangle_cluster_sweep_t(
+        sg(ro), sg(rd), sg(tr.sw_origin), sg(tr.cl_lo), sg(tr.cl_hi),
+        sg(tr.cl_e12), sg(tr.cl_e13), sg(tr.cl_n), sg(tr.cl_g1),
+        sg(tr.cl_g2), sg(tr.cl_d0), t_min, t_max,
     )
 
 
@@ -408,6 +432,9 @@ def intersect_scene(
                 *_triangle_sweep_phase_a(scene, ro, rd, t_min, t_max),
                 KIND_TRIANGLE,
             )
+        elif strategy == "cluster":
+            ct, ci, cm = _triangle_cluster_phase_a(scene, ro, rd, t_min, t_max)
+            consider_per_ray(ct, ci, cm, KIND_TRIANGLE)
         else:
             consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
     if scene.n_rects and not use_pallas:

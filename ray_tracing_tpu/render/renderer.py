@@ -166,6 +166,12 @@ class Renderer:
             # its rays; small coherent tiles beat wide ones (measured:
             # 4096 ≈ 2x faster than 32768 on scene.json)
             self.tile_size = min(self.tile_size, 4096)
+        elif strategy == "cluster":
+            # same coherence argument for the cluster sweep's any-ray
+            # AABB cull: a narrow tile visits fewer clusters (measured
+            # on the 79k-tri bunny grid at 512^2: 2.88 s/pass at 2048
+            # vs 3.53 at 65536)
+            self.tile_size = min(self.tile_size, 2048)
         self.max_depth = param.max_depth if param.max_depth is not None else 20
         self.antialias = param.antialias if param.antialias is not None else True
         if early_exit is None:

@@ -112,7 +112,7 @@ def test_sweep_render_matches_brute_image(bunny_scene, monkeypatch):
     _b, cam = scene_c4()
     camera = Camera.build(cam, 1.0)
     imgs = {}
-    for mode in ("sweep", "brute"):
+    for mode in ("sweep", "brute", "cluster"):
         monkeypatch.setenv("RAY_TPU_MESH", mode)
         imgs[mode] = np.asarray(
             render_pass(
@@ -123,6 +123,7 @@ def test_sweep_render_matches_brute_image(bunny_scene, monkeypatch):
         )
     monkeypatch.delenv("RAY_TPU_MESH")
     np.testing.assert_allclose(imgs["sweep"], imgs["brute"], atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(imgs["cluster"], imgs["brute"], atol=1e-4, rtol=1e-3)
 
 
 def test_unhonorable_mesh_override_raises(monkeypatch):
@@ -159,4 +160,99 @@ def test_unhonorable_mesh_override_raises(monkeypatch):
     monkeypatch.setenv("RAY_TPU_MESH", "bvh")
     with pytest.raises(ValueError, match="bvh"):
         mesh_strategy(stripped)
+    monkeypatch.delenv("RAY_TPU_MESH")
+
+
+def test_cluster_matches_sweep_on_bunny(bunny_scene, monkeypatch):
+    """Two-level cluster sweep (ops/geometry.py:triangle_cluster_sweep_t)
+    selects the same winning primitive as the dense sweep — same mask,
+    same index; t may differ by XLA fusion rounding (a few ulp) but the
+    shading record rebuilds from the index in Phase B either way."""
+    from ray_tracing_tpu.ops.intersect import intersect_scene, mesh_strategy
+
+    scene = bunny_scene
+    assert scene.triangles.has_clusters  # packed alongside the BVH
+
+    rng = np.random.default_rng(11)
+    ro, rd = _shell_rays(rng, 2048, -0.6, 0.6, -0.1, 0.2)
+
+    hits = {}
+    for mode in ("sweep", "cluster"):
+        monkeypatch.setenv("RAY_TPU_MESH", mode)
+        assert mesh_strategy(scene) == mode
+        hits[mode] = intersect_scene(scene, ro, rd, 1e-3, jnp.inf, None)
+    monkeypatch.delenv("RAY_TPU_MESH")
+
+    a, b = hits["sweep"], hits["cluster"]
+    assert (np.asarray(a.mask) == np.asarray(b.mask)).all()
+    both = np.asarray(a.mask & b.mask)
+    assert (np.asarray(a.index)[both] == np.asarray(b.index)[both]).all()
+    ta = np.asarray(a.t)[both]
+    tb = np.asarray(b.t)[both]
+    ulp = np.abs(ta.view(np.int32) - tb.view(np.int32))
+    assert ulp.max() <= 16
+
+
+def test_cluster_auto_strategy_and_large_soup_vs_bvh(monkeypatch):
+    """Above SWEEP_MAX_TRIS the auto strategy is the cluster sweep, and
+    on a >32k random soup it agrees with the BVH walk ray-for-ray."""
+    from ray_tracing_tpu import SceneBuilder
+    from ray_tracing_tpu.ops.intersect import (
+        SWEEP_MAX_TRIS,
+        intersect_scene,
+        mesh_strategy,
+    )
+
+    rng = np.random.default_rng(5)
+    t = SWEEP_MAX_TRIS + 257  # non-multiple of the cluster width
+    centers = rng.uniform(-4.0, 4.0, (t, 1, 3)).astype(np.float32)
+    v = centers + rng.normal(size=(t, 3, 3)).astype(np.float32) * 0.05
+    nrm = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = np.repeat(nrm[:, None, :], 3, axis=1).astype(np.float32)
+    uv = np.zeros((t, 3, 2), np.float32)
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    white = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
+    b.add_mesh_triangles(v, nrm, uv, white)
+    scene = b.build()
+    assert mesh_strategy(scene) == "cluster"
+
+    ro, rd = _shell_rays(rng, 512, -6.0, 6.0, -1.0, 1.0)
+    hits = {}
+    for mode in ("cluster", "bvh"):
+        monkeypatch.setenv("RAY_TPU_MESH", mode)
+        hits[mode] = intersect_scene(scene, ro, rd, 1e-3, jnp.inf, None)
+    monkeypatch.delenv("RAY_TPU_MESH")
+
+    a, b = hits["cluster"], hits["bvh"]
+    assert (np.asarray(a.mask) == np.asarray(b.mask)).all()
+    both = np.asarray(a.mask & b.mask)
+    assert both.any()  # the soup is dense enough that rays hit
+    assert (np.asarray(a.index)[both] == np.asarray(b.index)[both]).all()
+    ta, tb = np.asarray(a.t)[both], np.asarray(b.t)[both]
+    rel = np.abs(ta - tb) / np.maximum(np.abs(tb), 1e-6)
+    assert rel.max() < 1e-4
+
+
+def test_cluster_override_without_cluster_data_raises(monkeypatch):
+    """RAY_TPU_MESH=cluster on a table without cluster packing raises
+    (same no-silent-fallback contract as sweep/bvh)."""
+    import pytest
+
+    from ray_tracing_tpu import SceneBuilder
+    from ray_tracing_tpu.ops.intersect import mesh_strategy
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    white = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
+    pts = np.asarray([[[0, 0, -2], [1, 0, -2], [0, 1, -2]]], np.float32)
+    nrm = np.tile(np.asarray([0, 0, 1], np.float32), (1, 3, 1))
+    uv = np.zeros((1, 3, 2), np.float32)
+    b.add_mesh_triangles(pts, nrm, uv, white)
+    scene = b.build()  # 1 tri: below BVH_THRESHOLD, no clusters
+    assert not scene.triangles.has_clusters
+
+    monkeypatch.setenv("RAY_TPU_MESH", "cluster")
+    with pytest.raises(ValueError, match="cluster"):
+        mesh_strategy(scene)
     monkeypatch.delenv("RAY_TPU_MESH")
