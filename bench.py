@@ -108,8 +108,17 @@ def main():
     camera = Camera.build(bundle.camera, WIDTH / HEIGHT)
     max_depth = bundle.renderer.max_depth or 20
     n_prims = scene.n_spheres + scene.n_triangles + scene.n_rects
-    tile = _pick_tile_size(WIDTH * HEIGHT, n_prims)
+    tile = int(os.environ.get("RAY_TPU_BENCH_TILE", 0)) or _pick_tile_size(
+        WIDTH * HEIGHT, n_prims
+    )
     use_ad = os.environ.get("RAY_TPU_BENCH_AD") == "1"
+    # A/B switch (docs/PERFORMANCE.md): rbg is a counter-based PRNG that
+    # is far cheaper than threefry on the TPU VPU; keys carry their impl
+    # end-to-end through the PRB custom_vjp, so this is a pure key swap.
+    key_impl = "rbg" if os.environ.get("RAY_TPU_BENCH_RBG") == "1" else None
+
+    def bench_key(i):
+        return jax.random.key(i, impl=key_impl) if key_impl else jax.random.key(i)
 
     # NB: the scene is ALWAYS a jit argument below, never a closure.  A
     # closed-over scene is inlined into the HLO as literal text — with
@@ -179,19 +188,19 @@ def main():
         )[1]
     )
     seg_counts = [
-        float(count_fn(scene, camera, jax.random.key(i)))
+        float(count_fn(scene, camera, bench_key(i)))
         for i in range(1, PASSES + 1)
     ]
 
     # compile + warmup (float() forces a real host sync; block_until_ready
     # does not block through the axon tunnel)
-    loss, segs, g = fwd_bwd(bench_params, scene, jax.random.key(0))
+    loss, segs, g = fwd_bwd(bench_params, scene, bench_key(0))
     float(loss)
 
     t0 = time.perf_counter()
     total_segments = 0.0
     for i in range(1, PASSES + 1):
-        loss, segs, g = fwd_bwd(bench_params, scene, jax.random.key(i))
+        loss, segs, g = fwd_bwd(bench_params, scene, bench_key(i))
         float(loss)
         total_segments += seg_counts[i - 1] if not use_ad else float(segs)
     dt = time.perf_counter() - t0
