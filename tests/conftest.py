@@ -31,3 +31,30 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: the guard is a no-op
+        return 0
+
+
+# Every XLA:CPU compile permanently maps many small JIT segments for as
+# long as the executable is cached; big bounce-loop programs map
+# thousands.  A full compile-heavy suite run crosses the kernel's
+# vm.max_map_count (65530 here) and the NEXT compile segfaults inside
+# jaxlib — measured: map count grows monotonically to ~65k and the
+# process dies at exactly the limit (reproduced 4x at the same test).
+# Dropping cached executables releases the mappings, so: clear the jit
+# caches whenever the process approaches the limit.  Recompiles after a
+# clear are mostly persistent-cache loads, so the cost is seconds.
+_MAP_GUARD_THRESHOLD = 30_000
+
+
+@pytest.fixture(autouse=True)
+def _mmap_guard():
+    yield
+    if _map_count() > _MAP_GUARD_THRESHOLD:
+        jax.clear_caches()
