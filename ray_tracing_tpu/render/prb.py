@@ -129,89 +129,47 @@ def _one_hot_add(gacc, leaf, contrib, mask):
     )
 
 
-def _scatter_add(gimg, texel, contrib, mask):
-    """gimg (P, 3) += scatter of masked contributions at flat texel ids,
-    gated on any(mask).
+def _gimg_add(gimg, texel, contrib, mask):
+    """gimg (3, rows, 128) channel-planar += masked scatter of contrib
+    (N, 3) at flat texel ids, gated on any(mask).
 
-    TPU scatter-add is ~serial per row (measured 0.52 s/pass when run
-    per bounce on zy 1024² — 75%% of the whole backward), so this is
-    only the RARE path: per-bounce overflow flushes (a ray whose
-    pending slot already holds a different texel, see _pend_absorb) and
-    the final per-tile flush of compacted pending slots.  stop_gradient
-    for the same reason as _one_hot_add.
+    XLA's TPU scatter-add costs ~180 cycles PER ROW regardless of mask
+    (measured: per-bounce texel scatters alone were 0.45-0.52 s/pass at
+    1024² — 75%% of the whole backward; per-ray pending-slot deferral
+    didn't help because zy paths routinely visit 3+ distinct earth
+    texels, so the "rare" eviction fired in ~every image block).  On
+    TPU the scatter runs as a Pallas kernel that keeps the planar table
+    in VMEM and skips masked-out rows in a few cycles
+    (ops/pallas_scatter.py); off-TPU / oversized atlases take the XLA
+    scatter on the same planar layout.  stop_gradient for the same
+    reason as _one_hot_add.
     """
-    contrib = jax.lax.stop_gradient(contrib)
+    from ray_tracing_tpu.ops.pallas_scatter import (
+        scatter_add_planar,
+        use_pallas_scatter,
+    )
 
-    def do(gimg):
-        c = jnp.where(mask[:, None], contrib, 0.0)
-        return gimg.at[texel].add(c)
+    contrib = jax.lax.stop_gradient(contrib)
+    p_texels = gimg.shape[1] * gimg.shape[2]
+
+    if use_pallas_scatter(p_texels):
+        def do(g):
+            return scatter_add_planar(g, texel, contrib, mask)
+    else:
+        def do(g):
+            j = texel // 128
+            lane = texel % 128
+            c = jnp.where(mask[:, None], contrib, 0.0)
+            return g.at[:, j, lane].add(c.T)
 
     return jax.lax.cond(jnp.any(mask), do, lambda x: x, gimg)
-
-
-def _pend_absorb(gimg, pend_texel, pend_contrib, texel, contrib, mask):
-    """Absorb this bounce's image-texel contributions into the per-ray
-    pending slot instead of scattering into the (huge) atlas-gradient
-    buffer every bounce.
-
-    A path rarely touches more than one image texel, so each ray keeps
-    ONE (texel, contrib) slot: same-texel hits merge in place; a
-    different texel flushes the old slot through the gated scatter
-    (rare) and replaces it.  The slots are flushed once per tile by
-    :func:`_pend_flush` with a compacted, occupied-first chunked
-    scatter — total scatter rows drop from O(bounces × wavefront) to
-    O(rays that actually hit an image texture).
-
-    pend_texel: (N,) i32, -1 = empty; pend_contrib: (N, 3) f32 (always
-    stop_gradient'ed — the scalar tangent replay must not drag tangent
-    streams through these carries).
-    """
-    contrib = jax.lax.stop_gradient(contrib)
-    occupied = pend_texel >= 0
-    same = occupied & (pend_texel == texel)
-    merge = mask & same
-    overflow = mask & occupied & ~same
-    gimg = _scatter_add(gimg, pend_texel, pend_contrib, overflow)
-    store = mask & ~same  # empty slot or just-flushed overflow
-    pend_texel = jnp.where(store, texel, pend_texel)
-    pend_contrib = jnp.where(
-        merge[:, None], pend_contrib + contrib,
-        jnp.where(store[:, None], contrib, pend_contrib),
-    )
-    return gimg, pend_texel, pend_contrib
-
-
-def _pend_flush(gimg, pend_texel, pend_contrib, chunk: int):
-    """Final flush of the pending texel slots: sort occupied-first, then
-    scatter only ceil(occupied / chunk) fixed-shape chunks (dynamic trip
-    count — same trick as the compaction stages).  Runs once per tile."""
-    occupied = pend_texel >= 0
-    order = jnp.argsort(~occupied, stable=True)
-    pt = pend_texel[order]
-    pc = jax.lax.stop_gradient(pend_contrib)[order]
-    count = jnp.sum(occupied.astype(jnp.int32))
-
-    def body(state):
-        ci, gimg = state
-        start = ci * chunk
-        t = jax.lax.dynamic_slice_in_dim(pt, start, chunk)
-        c = jax.lax.dynamic_slice_in_dim(pc, start, chunk)
-        ok = t >= 0
-        gimg = gimg.at[jnp.maximum(t, 0)].add(jnp.where(ok[:, None], c, 0.0))
-        return ci + 1, gimg
-
-    def cond(state):
-        return state[0] * chunk < count
-
-    _, gimg = jax.lax.while_loop(cond, body, (jnp.int32(0), gimg))
-    return gimg
 
 
 def _prb_bounce(scene: SceneData, kb, carry):
     """One replayed bounce: identical control/RNG to integrator._bounce
     (kept in lock-step; tests assert the replayed radiance matches the
     forward bit-for-bit) plus the gradient accumulations."""
-    rad, thr, ro, rd, alive, gacc, g, rad_total, pend = carry
+    rad, thr, ro, rd, alive, gacc, g, rad_total = carry
     gcol, gimg, gmet = gacc
     n = ro.shape[0]
     if scene.n_medium > 0:
@@ -257,12 +215,9 @@ def _prb_bounce(scene: SceneData, kb, carry):
         gcol, aux.leaf_tex, leaf_contrib, leaf_mask & aux.leaf_is_solid
     )
     if has_images:
-        pend_texel, pend_contrib = pend
-        gimg, pend_texel, pend_contrib = _pend_absorb(
-            gimg, pend_texel, pend_contrib, aux.texel, leaf_contrib,
-            leaf_mask & aux.leaf_is_image,
+        gimg = _gimg_add(
+            gimg, aux.texel, leaf_contrib, leaf_mask & aux.leaf_is_image
         )
-        pend = (pend_texel, pend_contrib)
 
     # metal albedo: the Specular coefficient is the albedo itself
     # (reference metal.rs:31-46), so the same suffix/A trick applies,
@@ -276,38 +231,38 @@ def _prb_bounce(scene: SceneData, kb, carry):
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
-    return rad, thr, ro, rd, new_alive, (gcol, gimg, gmet), g, rad_total, pend
+    return rad, thr, ro, rd, new_alive, (gcol, gimg, gmet), g, rad_total
 
 
 def _zero_grads(scene):
-    """(gcol (T,3), gimg (I*H*W, 3) flat, gmet (M,3)) accumulators."""
+    """(gcol (T,3), gimg (3, rows, 128) channel-planar, gmet (M,3))
+    accumulators.  The image-texel accumulator lives in the planar
+    layout the scatter kernel wants (ops/pallas_scatter.py); callers
+    flatten it back to texel-major with ``from_planar``."""
+    from ray_tracing_tpu.ops.pallas_scatter import planar_rows
+
     t = scene.textures.color.shape[0]
     i, h, w = scene.textures.images.shape[:3]
     m = scene.materials.albedo.shape[0]
     return (
         jnp.zeros((t, 3), jnp.float32),
-        jnp.zeros((i * h * w, 3), jnp.float32),
+        jnp.zeros((3, planar_rows(max(i * h * w, 1)), 128), jnp.float32),
         jnp.zeros((m, 3), jnp.float32),
     )
 
 
-def _pend_init(scene, n):
-    """Per-ray pending texel slots (empty = -1); zero-size when the
-    scene has no image textures so the compaction sorts never touch
-    them."""
-    if scene.textures.images.shape[0] > 0:
-        return (
-            jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n, 3), jnp.float32),
-        )
-    return (jnp.zeros((0,), jnp.int32), jnp.zeros((0, 3), jnp.float32))
+def grads_image_flat(gacc, scene):
+    """The (I*H*W, 3) texel-major view of a replay's image gradient."""
+    from ray_tracing_tpu.ops.pallas_scatter import from_planar
+
+    i, h, w = scene.textures.images.shape[:3]
+    return from_planar(gacc[1], max(i * h * w, 1))
 
 
 def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g):
-    """Replay the dense loop; returns ((gcol, gimg_flat, gmet),
+    """Replay the dense loop; returns ((gcol, gimg_planar, gmet),
     replayed_rad (N,3))."""
     n = ro.shape[0]
-    has_images = scene.textures.images.shape[0] > 0
     carry = (
         jnp.zeros((n, 3), jnp.float32),
         jnp.ones((n, 3), jnp.float32),
@@ -315,22 +270,15 @@ def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g):
         jnp.ones((n,), bool),
         _zero_grads(scene),
         g, rad_total,
-        _pend_init(scene, n),
     )
 
     def body(b, c):
         return _prb_bounce(scene, jax.random.fold_in(key, b), c)
 
-    rad, thr, ro, rd, alive, gacc, _, _, pend = jax.lax.fori_loop(
+    rad, thr, ro, rd, alive, gacc, _, _ = jax.lax.fori_loop(
         0, max_depth, body, carry
     )
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    if has_images:
-        gcol, gimg, gmet = gacc
-        # one full-width flush (chunk must divide n exactly or the
-        # clamped dynamic_slice would re-read rows; dense n is arbitrary)
-        gimg = _pend_flush(gimg, pend[0], pend[1], n)
-        gacc = (gcol, gimg, gmet)
     return gacc, rad
 
 
@@ -351,8 +299,6 @@ def prb_grad_compacted(
     alive = jnp.ones((n,), bool)
     gacc = _zero_grads(scene)
     orig = jnp.arange(n, dtype=jnp.int32)
-    pend = _pend_init(scene, n)
-    has_images = scene.textures.images.shape[0] > 0
 
     from ray_tracing_tpu.render.integrator import (
         bounded_bounce_loop,
@@ -366,11 +312,9 @@ def prb_grad_compacted(
             def body0(b, c):
                 return _prb_bounce(scene, jax.random.fold_in(k_stage, b), c)
 
-            rad, thr, ro, rd, alive, gacc, g, rad_total, pend = (
-                jax.lax.fori_loop(
-                    0, bounces, body0,
-                    (rad, thr, ro, rd, alive, gacc, g, rad_total, pend),
-                )
+            rad, thr, ro, rd, alive, gacc, g, rad_total = jax.lax.fori_loop(
+                0, bounces, body0,
+                (rad, thr, ro, rd, alive, gacc, g, rad_total),
             )
             continue
 
@@ -383,53 +327,41 @@ def prb_grad_compacted(
         alive = alive[order]
         g = g[order]
         rad_total = rad_total[order]
-        if has_images:
-            pend = (pend[0][order], pend[1][order])
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
         def chunk_body(state):
-            ci, rad, thr, ro, rd, alive, gacc, g, rt, pend = state
+            ci, rad, thr, ro, rd, alive, gacc, g, rt = state
             start = ci * chunk
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
-            c_pend = (sl(pend[0]), sl(pend[1])) if has_images else pend
             c_carry = (
                 sl(rad), sl(thr), sl(ro), sl(rd), sl(alive),
-                gacc, sl(g), sl(rt), c_pend,
+                gacc, sl(g), sl(rt),
             )
             k_chunk = jax.random.fold_in(k_stage, ci)
 
             def bodyc(b, c):
                 return _prb_bounce(scene, jax.random.fold_in(k_chunk, b), c)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, gacc2, _, _, c_pend = (
+            c_rad, c_thr, c_ro, c_rd, c_alive, gacc2, _, _ = (
                 bounded_bounce_loop(bounces, bodyc, c_carry, lambda c: c[4])
             )
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
-            if has_images:
-                pend = (upd(pend[0], c_pend[0]), upd(pend[1], c_pend[1]))
             return (
                 ci + 1,
                 upd(rad, c_rad), upd(thr, c_thr), upd(ro, c_ro),
-                upd(rd, c_rd), upd(alive, c_alive), gacc2, g, rt, pend,
+                upd(rd, c_rd), upd(alive, c_alive), gacc2, g, rt,
             )
 
         def chunk_cond(state):
             return state[0] * chunk < alive_count
 
-        _, rad, thr, ro, rd, alive, gacc, g, rad_total, pend = (
-            jax.lax.while_loop(
-                chunk_cond, chunk_body,
-                (jnp.int32(0), rad, thr, ro, rd, alive, gacc, g, rad_total,
-                 pend),
-            )
+        _, rad, thr, ro, rd, alive, gacc, g, rad_total = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), rad, thr, ro, rd, alive, gacc, g, rad_total),
         )
 
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
     rad_out = jnp.zeros_like(rad).at[orig].set(rad)
-    if has_images:
-        gcol, gimg, gmet = gacc
-        gimg = _pend_flush(gimg, pend[0], pend[1], chunk)
-        gacc = (gcol, gimg, gmet)
     return gacc, rad_out
 
 

@@ -209,10 +209,18 @@ def prb_radiance_all(
         else:
             _, (gcol, gimg, gmet) = replay(theta0)
 
+        from ray_tracing_tpu.ops.pallas_scatter import from_planar
+
+        if p.images.size:
+            gimg_out = from_planar(
+                gimg, int(np.prod(p.images.shape[:3]))
+            ).reshape(p.images.shape)
+        else:
+            gimg_out = jnp.zeros_like(p.images)
         return (
             AllParams(
                 color=gcol,
-                images=gimg.reshape(p.images.shape),
+                images=gimg_out,
                 metal_albedo=gmet,
                 fuzz=gfuzz,
                 ir=gir,
