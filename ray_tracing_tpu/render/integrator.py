@@ -146,6 +146,15 @@ def stage_schedule(max_depth: int, stage_bounces: int) -> list:
     return sizes
 
 
+def default_chunk_div(n: int) -> int:
+    """Compaction chunk divisor: keep chunks at ~8192 rays (measured
+    best at 1024²: chunk 8192 beat 2048 and 16384) while never going
+    below 8 chunks per tile.  Shared by trace_compacted and the PRB
+    replay — the two MUST agree for path replay to reproduce the
+    forward."""
+    return max(8, n // 8192)
+
+
 def bounded_bounce_loop(bounces: int, body, carry, alive_of):
     """fori_loop(0, bounces, body, carry) that stops early once every
     lane is dead — exactly output-preserving (a bounce over an all-dead
@@ -171,7 +180,7 @@ def trace_compacted(
     max_depth: int,
     *,
     stage_bounces: int = 4,
-    chunk_div: int = 8,
+    chunk_div: int | None = None,
     with_stats: bool = False,
 ) -> jnp.ndarray:
     """Forward-only trace with staged wavefront compaction.
@@ -190,6 +199,8 @@ def trace_compacted(
     per-lane uniform draws).  N must be a multiple of chunk_div.
     """
     n = ro.shape[0]
+    if chunk_div is None:
+        chunk_div = default_chunk_div(n)
     chunk = n // chunk_div
     assert chunk * chunk_div == n, "ray count must be a multiple of chunk_div"
 

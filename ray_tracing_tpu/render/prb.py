@@ -284,13 +284,17 @@ def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g):
 
 def prb_grad_compacted(
     scene, ro, rd, key, max_depth, rad_total, g,
-    *, stage_bounces: int = 4, chunk_div: int = 8,
+    *, stage_bounces: int = 4, chunk_div: int | None = None,
 ):
     """Replay of integrator.trace_compacted's exact staged schedule
     (same keys -> same sorts -> same paths), accumulating gradients.
     Structure is deliberately kept in lock-step with trace_compacted;
     tests assert the replayed radiance equals the forward output."""
+    from ray_tracing_tpu.render.integrator import default_chunk_div
+
     n = ro.shape[0]
+    if chunk_div is None:
+        chunk_div = default_chunk_div(n)
     chunk = n // chunk_div
     assert chunk * chunk_div == n
 

@@ -49,10 +49,12 @@ class RendererParam:
 
 def _pick_tile_size(n_rays: int, n_prims: int, grid_budget: int = 4_194_304) -> int:
     """Bound the (tile × primitives) candidate grid to ``grid_budget``
-    entries (16 MB of f32 at the default)."""
+    entries (16 MB of f32 at the default).  Cap at 128k rays: measured
+    at 1024² on zy (TPU v5e), 131072 beats 65536 by 12% (fewer per-tile
+    fixed costs) while 262144+ regresses (compaction argsorts)."""
     budget = grid_budget // max(n_prims, 1)
     tile = 512
-    while tile * 2 <= min(budget, n_rays, 65536):
+    while tile * 2 <= min(budget, n_rays, 131072):
         tile *= 2
     return tile
 
