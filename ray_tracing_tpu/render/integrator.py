@@ -16,8 +16,12 @@ background-vs-environment distinction: *misses* contribute ``background``
 stop after their emission term (renderer.rs:261).
 
 Everything is a pure function of (scene, rays, key): per-bounce uniforms
-come from ``fold_in(key, bounce)``, so a render is bit-reproducible and
-replayable for path-replay differentiation.
+are keyed by **(ray id, global bounce index)** — NOT by the ray's
+position in the wavefront — so a ray's path is identical no matter how
+the wavefront is laid out.  Compaction (sorting rays alive-first and
+bouncing only live chunks) therefore produces BIT-IDENTICAL radiance to
+the dense loop, renders are reproducible, and the PRB replay can walk
+any layout of the same rays.
 """
 
 from __future__ import annotations
@@ -31,33 +35,68 @@ from ray_tracing_tpu.ops.intersect import intersect_scene
 from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 
 
-def _bounce(scene: SceneData, kb, carry):
+def _pcg(x):
+    """One PCG-RXS-M-XS round on uint32 — a well-mixed permutation."""
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    x = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(
+        277803737
+    )
+    return (x >> jnp.uint32(22)) ^ x
+
+
+def ray_uniforms(key, ids, bounce, n_cols: int):
+    """(n, n_cols) uniforms for one bounce, keyed per **ray id** — a
+    pure function of (key, ray id, bounce, column), independent of
+    where the ray currently sits in the (possibly compacted) wavefront.
+
+    Implemented as a double-PCG counter hash rather than per-ray
+    ``fold_in`` + ``uniform``: vmapping threefry over rays puts the
+    13-column minor dimension on the 128 TPU lanes (measured +26% on a
+    whole forward pass), while this form is a handful of uint32 VPU ops
+    in ray-major layout.  Statistical quality is the PCG output
+    permutation applied twice with independent key-derived offsets; the
+    estimator test battery (furnace, MIS unbiasedness, closed-form
+    oracles, PRB==AD==FD) pins the Monte Carlo quality.
+    """
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    # fold every key word plus the bounce into two 32-bit seeds
+    s1 = jnp.uint32(0x9E3779B9)
+    for w in kd:
+        s1 = _pcg(s1 ^ w)
+    s1 = _pcg(s1 + jnp.asarray(bounce, jnp.uint32))
+    s2 = _pcg(s1 ^ jnp.uint32(0x85EBCA6B))
+
+    base = _pcg(ids.astype(jnp.uint32) ^ s1)  # (n,)
+    cols = _pcg(
+        jnp.arange(n_cols, dtype=jnp.uint32) * jnp.uint32(0x632BE59B) + s2
+    )  # (n_cols,)
+    h = _pcg(base[:, None] + cols[None, :])  # (n, n_cols)
+    # 24 high bits -> [0, 1), the jax.random.uniform convention
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+
+
+def _bounce(scene: SceneData, key, bounce, carry):
     """One wavefront bounce: intersect, emit/background, scatter.
-    carry = (rad, thr, ro, rd, alive, segments); uniforms from ``kb``."""
-    rad, thr, ro, rd, alive, segments = carry
-    n = ro.shape[0]
+    carry = (rad, thr, ro, rd, alive, ids, segments); uniforms keyed by
+    (ids, bounce) via :func:`ray_uniforms`."""
+    rad, thr, ro, rd, alive, ids, segments = carry
     segments = segments + jnp.sum(alive.astype(jnp.float32))
-    if scene.n_medium > 0:
-        med_u = jax.random.uniform(
-            jax.random.fold_in(kb, 1), (n, scene.n_medium), dtype=jnp.float32
-        )
-    else:
-        med_u = None
+    n_med = scene.n_medium
+    u_all = ray_uniforms(key, ids, bounce, N_SCATTER_U + n_med)
+    med_u = u_all[:, N_SCATTER_U:] if n_med > 0 else None
     hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
     found = alive & hit.mask
     miss = alive & ~hit.mask
 
     rad = rad + jnp.where(miss[:, None], thr * scene.background[None, :], 0.0)
-    u = jax.random.uniform(
-        jax.random.fold_in(kb, 2), (n, N_SCATTER_U), dtype=jnp.float32
-    )
+    u = u_all[:, :N_SCATTER_U]
     em, sc = shade(scene, hit, rd, u)
     rad = rad + jnp.where(found[:, None], thr * em, 0.0)
     new_alive = found & sc.scattered
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
-    return rad, thr, ro, rd, new_alive, segments
+    return rad, thr, ro, rd, new_alive, ids, segments
 
 
 def trace(
@@ -84,15 +123,16 @@ def trace(
     rad = jnp.zeros((n, 3), dtype=jnp.float32)
     thr = jnp.ones((n, 3), dtype=jnp.float32)
     alive = jnp.ones((n,), dtype=bool)
+    ids = jnp.arange(n, dtype=jnp.int32)
     segments = jnp.zeros((), dtype=jnp.float32)
 
     def body(bounce, carry):
-        return _bounce(scene, jax.random.fold_in(key, bounce), carry)
+        return _bounce(scene, key, bounce, carry)
 
     if remat:
         body = jax.checkpoint(body, static_argnums=())
 
-    init = (rad, thr, ro, rd, alive, segments)
+    init = (rad, thr, ro, rd, alive, ids, segments)
     if early_exit:
         # Stop as soon as the whole wavefront is dead (most of the
         # reference's fixed-depth budget is spent on dead lanes: zy at
@@ -107,11 +147,11 @@ def trace(
             b, carry = state
             return b + 1, body(b, carry)
 
-        _, (rad, thr, ro, rd, alive, segments) = jax.lax.while_loop(
+        _, (rad, thr, ro, rd, alive, ids, segments) = jax.lax.while_loop(
             cond, wbody, (jnp.int32(0), init)
         )
     else:
-        rad, thr, ro, rd, alive, segments = jax.lax.fori_loop(
+        rad, thr, ro, rd, alive, ids, segments = jax.lax.fori_loop(
             0, max_depth, body, init
         )
     # depth exhausted -> environment (reference renderer.rs:128-130)
@@ -194,9 +234,12 @@ def trace_compacted(
     the TPU equivalent of the reference's scattered-ray re-packeting
     (renderer.rs:264-298).
 
-    Not differentiable (dynamic chunk counts); an unbiased estimator but
-    not bit-identical to :func:`trace` (compaction re-pairs rays with
-    per-lane uniform draws).  N must be a multiple of chunk_div.
+    Not reverse-differentiable (dynamic chunk counts) — gradients go
+    through the PRB replay.  Because per-bounce uniforms are keyed by
+    (ray id, global bounce) — see :func:`ray_uniforms` — the result is
+    BIT-IDENTICAL to :func:`trace` with the same key (a bounce over a
+    dead ray is a masked no-op and consumes nothing).  N must be a
+    multiple of chunk_div.
     """
     n = ro.shape[0]
     if chunk_div is None:
@@ -207,70 +250,71 @@ def trace_compacted(
     rad = jnp.zeros((n, 3), dtype=jnp.float32)
     thr = jnp.ones((n, 3), dtype=jnp.float32)
     alive = jnp.ones((n,), dtype=bool)
+    ids = jnp.arange(n, dtype=jnp.int32)  # sorted position -> pixel
     segments = jnp.zeros((), dtype=jnp.float32)
-    orig = jnp.arange(n, dtype=jnp.int32)  # sorted position -> pixel
 
-    carry = (rad, thr, ro, rd, alive, segments)
+    carry = (rad, thr, ro, rd, alive, ids, segments)
+    offset = 0
 
     for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
-        k_stage = jax.random.fold_in(key, 1000 + stage)
-
         if stage == 0:
             # full-width warm stage (everything is alive anyway)
-            def body0(b, c):
-                return _bounce(scene, jax.random.fold_in(k_stage, b), c)
+            def body0(b, c, _offset=offset):
+                return _bounce(scene, key, _offset + b, c)
 
             carry = jax.lax.fori_loop(0, bounces, body0, carry)
+            offset += bounces
             continue
 
-        rad, thr, ro, rd, alive, segments = carry
+        rad, thr, ro, rd, alive, ids, segments = carry
         # compact: alive rays first (stable keeps pixel coherence)
         order = jnp.argsort(~alive, stable=True)
-        orig = orig[order]
         rad = rad[order]
         thr = thr[order]
         ro = ro[order]
         rd = rd[order]
         alive = alive[order]
+        ids = ids[order]
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
-        def chunk_body(state):
-            ci, rad, thr, ro, rd, alive, segments = state
+        def chunk_body(state, _offset=offset):
+            ci, rad, thr, ro, rd, alive, ids, segments = state
             start = ci * chunk
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
             c_carry = (
-                sl(rad), sl(thr), sl(ro), sl(rd), sl(alive),
+                sl(rad), sl(thr), sl(ro), sl(rd), sl(alive), sl(ids),
                 jnp.zeros((), jnp.float32),
             )
-            k_chunk = jax.random.fold_in(k_stage, ci)
 
             def bodyc(b, c):
-                return _bounce(scene, jax.random.fold_in(k_chunk, b), c)
+                return _bounce(scene, key, _offset + b, c)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, c_segs = bounded_bounce_loop(
-                bounces, bodyc, c_carry, lambda c: c[4]
+            c_rad, c_thr, c_ro, c_rd, c_alive, c_ids, c_segs = (
+                bounded_bounce_loop(bounces, bodyc, c_carry, lambda c: c[4])
             )
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
             return (
                 ci + 1,
                 upd(rad, c_rad), upd(thr, c_thr), upd(ro, c_ro),
-                upd(rd, c_rd), upd(alive, c_alive), segments + c_segs,
+                upd(rd, c_rd), upd(alive, c_alive), upd(ids, c_ids),
+                segments + c_segs,
             )
 
         def chunk_cond(state):
             ci = state[0]
             return ci * chunk < alive_count
 
-        _, rad, thr, ro, rd, alive, segments = jax.lax.while_loop(
+        _, rad, thr, ro, rd, alive, ids, segments = jax.lax.while_loop(
             chunk_cond, chunk_body,
-            (jnp.int32(0), rad, thr, ro, rd, alive, segments),
+            (jnp.int32(0), rad, thr, ro, rd, alive, ids, segments),
         )
-        carry = (rad, thr, ro, rd, alive, segments)
+        carry = (rad, thr, ro, rd, alive, ids, segments)
+        offset += bounces
 
-    rad, thr, ro, rd, alive, segments = carry
+    rad, thr, ro, rd, alive, ids, segments = carry
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    # unsort: sorted position i belongs to pixel orig[i]
-    rad_out = jnp.zeros_like(rad).at[orig].set(rad)
+    # unsort: sorted position i belongs to pixel ids[i]
+    rad_out = jnp.zeros_like(rad).at[ids].set(rad)
     if with_stats:
         return rad_out, segments
     return rad_out

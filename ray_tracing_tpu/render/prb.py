@@ -165,27 +165,24 @@ def _gimg_add(gimg, texel, contrib, mask):
     return jax.lax.cond(jnp.any(mask), do, lambda x: x, gimg)
 
 
-def _prb_bounce(scene: SceneData, kb, carry):
+def _prb_bounce(scene: SceneData, key, bounce, carry):
     """One replayed bounce: identical control/RNG to integrator._bounce
-    (kept in lock-step; tests assert the replayed radiance matches the
-    forward bit-for-bit) plus the gradient accumulations."""
-    rad, thr, ro, rd, alive, gacc, g, rad_total = carry
+    (same (ray id, bounce)-keyed uniforms; tests assert the replayed
+    radiance matches the forward bit-for-bit) plus the gradient
+    accumulations."""
+    from ray_tracing_tpu.render.integrator import ray_uniforms
+
+    rad, thr, ro, rd, alive, ids, gacc, g, rad_total = carry
     gcol, gimg, gmet = gacc
-    n = ro.shape[0]
-    if scene.n_medium > 0:
-        med_u = jax.random.uniform(
-            jax.random.fold_in(kb, 1), (n, scene.n_medium), dtype=jnp.float32
-        )
-    else:
-        med_u = None
+    n_med = scene.n_medium
+    u_all = ray_uniforms(key, ids, bounce, N_SCATTER_U + n_med)
+    med_u = u_all[:, N_SCATTER_U:] if n_med > 0 else None
     hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
     found = alive & hit.mask
     miss = alive & ~hit.mask
 
     rad = rad + jnp.where(miss[:, None], thr * scene.background[None, :], 0.0)
-    u = jax.random.uniform(
-        jax.random.fold_in(kb, 2), (n, N_SCATTER_U), dtype=jnp.float32
-    )
+    u = u_all[:, :N_SCATTER_U]
     em, sc, aux = shade(scene, hit, rd, u, with_aux=True)
 
     mtype = take_rows(scene.materials.mtype, hit.material)
@@ -231,7 +228,7 @@ def _prb_bounce(scene: SceneData, kb, carry):
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
-    return rad, thr, ro, rd, new_alive, (gcol, gimg, gmet), g, rad_total
+    return rad, thr, ro, rd, new_alive, ids, (gcol, gimg, gmet), g, rad_total
 
 
 def _zero_grads(scene):
@@ -268,14 +265,15 @@ def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g):
         jnp.ones((n, 3), jnp.float32),
         ro, rd,
         jnp.ones((n,), bool),
+        jnp.arange(n, dtype=jnp.int32),
         _zero_grads(scene),
         g, rad_total,
     )
 
     def body(b, c):
-        return _prb_bounce(scene, jax.random.fold_in(key, b), c)
+        return _prb_bounce(scene, key, b, c)
 
-    rad, thr, ro, rd, alive, gacc, _, _ = jax.lax.fori_loop(
+    rad, thr, ro, rd, alive, ids, gacc, _, _ = jax.lax.fori_loop(
         0, max_depth, body, carry
     )
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
@@ -301,71 +299,77 @@ def prb_grad_compacted(
     rad = jnp.zeros((n, 3), jnp.float32)
     thr = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
+    ids = jnp.arange(n, dtype=jnp.int32)
     gacc = _zero_grads(scene)
-    orig = jnp.arange(n, dtype=jnp.int32)
 
     from ray_tracing_tpu.render.integrator import (
         bounded_bounce_loop,
         stage_schedule,
     )
 
+    offset = 0
     for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
-        k_stage = jax.random.fold_in(key, 1000 + stage)
-
         if stage == 0:
-            def body0(b, c):
-                return _prb_bounce(scene, jax.random.fold_in(k_stage, b), c)
+            def body0(b, c, _offset=offset):
+                return _prb_bounce(scene, key, _offset + b, c)
 
-            rad, thr, ro, rd, alive, gacc, g, rad_total = jax.lax.fori_loop(
-                0, bounces, body0,
-                (rad, thr, ro, rd, alive, gacc, g, rad_total),
+            rad, thr, ro, rd, alive, ids, gacc, g, rad_total = (
+                jax.lax.fori_loop(
+                    0, bounces, body0,
+                    (rad, thr, ro, rd, alive, ids, gacc, g, rad_total),
+                )
             )
+            offset += bounces
             continue
 
         order = jnp.argsort(~alive, stable=True)
-        orig = orig[order]
         rad = rad[order]
         thr = thr[order]
         ro = ro[order]
         rd = rd[order]
         alive = alive[order]
+        ids = ids[order]
         g = g[order]
         rad_total = rad_total[order]
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
-        def chunk_body(state):
-            ci, rad, thr, ro, rd, alive, gacc, g, rt = state
+        def chunk_body(state, _offset=offset):
+            ci, rad, thr, ro, rd, alive, ids, gacc, g, rt = state
             start = ci * chunk
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
             c_carry = (
-                sl(rad), sl(thr), sl(ro), sl(rd), sl(alive),
+                sl(rad), sl(thr), sl(ro), sl(rd), sl(alive), sl(ids),
                 gacc, sl(g), sl(rt),
             )
-            k_chunk = jax.random.fold_in(k_stage, ci)
 
             def bodyc(b, c):
-                return _prb_bounce(scene, jax.random.fold_in(k_chunk, b), c)
+                return _prb_bounce(scene, key, _offset + b, c)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, gacc2, _, _ = (
+            c_rad, c_thr, c_ro, c_rd, c_alive, c_ids, gacc2, _, _ = (
                 bounded_bounce_loop(bounces, bodyc, c_carry, lambda c: c[4])
             )
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
             return (
                 ci + 1,
                 upd(rad, c_rad), upd(thr, c_thr), upd(ro, c_ro),
-                upd(rd, c_rd), upd(alive, c_alive), gacc2, g, rt,
+                upd(rd, c_rd), upd(alive, c_alive), upd(ids, c_ids),
+                gacc2, g, rt,
             )
 
         def chunk_cond(state):
             return state[0] * chunk < alive_count
 
-        _, rad, thr, ro, rd, alive, gacc, g, rad_total = jax.lax.while_loop(
-            chunk_cond, chunk_body,
-            (jnp.int32(0), rad, thr, ro, rd, alive, gacc, g, rad_total),
+        _, rad, thr, ro, rd, alive, ids, gacc, g, rad_total = (
+            jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (jnp.int32(0), rad, thr, ro, rd, alive, ids, gacc, g,
+                 rad_total),
+            )
         )
+        offset += bounces
 
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    rad_out = jnp.zeros_like(rad).at[orig].set(rad)
+    rad_out = jnp.zeros_like(rad).at[ids].set(rad)
     return gacc, rad_out
 
 

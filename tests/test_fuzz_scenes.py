@@ -96,26 +96,21 @@ def test_trace_variants_bit_identical(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_compacted_same_expectation(seed):
-    """Compaction re-pairs uniforms (different, equally valid estimator):
-    means over many keys must agree within the MC stderr envelope."""
+def test_compacted_bit_identical_to_dense(seed):
+    """Per-bounce uniforms are keyed by (ray id, global bounce), not by
+    wavefront position, so staged compaction — a pure execution
+    strategy — must reproduce the dense loop BIT-exactly, for any chunk
+    granularity."""
     from ray_tracing_tpu.render.integrator import trace_compacted
 
     rng = np.random.RandomState(200 + seed)
     scene = _random_scene(rng)
     ro, rd = _rays(rng, n=2048)
 
-    def mean_of(f, keys):
-        tot = 0.0
-        for k in keys:
-            tot = tot + np.asarray(f(scene, ro, rd, jax.random.key(k), 6))
-        return tot / len(keys)
-
-    keys = list(range(24))
-    dense = mean_of(trace, keys)
-    comp = mean_of(trace_compacted, keys)
-    # per-pixel MC noise at 24 samples is large; compare image means
-    scale = max(dense.mean(), 1e-3)
-    assert abs(dense.mean() - comp.mean()) / scale < 0.08, (
-        dense.mean(), comp.mean()
-    )
+    for k in (0, 7):
+        dense = np.asarray(trace(scene, ro, rd, jax.random.key(k), 6))
+        for chunk_div in (8, 16):
+            comp = np.asarray(trace_compacted(
+                scene, ro, rd, jax.random.key(k), 6, chunk_div=chunk_div
+            ))
+            np.testing.assert_array_equal(dense, comp, err_msg=str(chunk_div))
