@@ -165,14 +165,17 @@ def _gimg_add(gimg, texel, contrib, mask):
     return jax.lax.cond(jnp.any(mask), do, lambda x: x, gimg)
 
 
-def _prb_bounce(scene: SceneData, key, bounce, carry):
+def _prb_bounce(scene: SceneData, key, bounce, carry, accumulate=True):
     """One replayed bounce: identical control/RNG to integrator._bounce
     (same (ray id, bounce)-keyed uniforms; tests assert the replayed
     radiance matches the forward bit-for-bit) plus the gradient
-    accumulations."""
+    accumulations.  ``accumulate=False`` (static) skips every gradient
+    accumulator — the radiance-only mode the scalar tangent replay
+    jacfwd's (the subset pass needs tangents of rad alone, and dragging
+    the 6 MB atlas accumulator through its loops costs real time)."""
     from ray_tracing_tpu.render.integrator import ray_uniforms
 
-    rad, thr, ro, rd, alive, ids, gacc, g, rad_total = carry
+    rad, thr, ro, rd, alive, ids, touched, gacc, g, rad_total = carry
     gcol, gimg, gmet = gacc
     n_med = scene.n_medium
     u_all = ray_uniforms(key, ids, bounce, N_SCATTER_U + n_med)
@@ -183,7 +186,10 @@ def _prb_bounce(scene: SceneData, key, bounce, carry):
 
     rad = rad + jnp.where(miss[:, None], thr * scene.background[None, :], 0.0)
     u = u_all[:, :N_SCATTER_U]
-    em, sc, aux = shade(scene, hit, rd, u, with_aux=True)
+    if accumulate:
+        em, sc, aux = shade(scene, hit, rd, u, with_aux=True)
+    else:
+        em, sc = shade(scene, hit, rd, u)
 
     mtype = take_rows(scene.materials.mtype, hit.material)
     has_images = scene.textures.images.shape[0] > 0
@@ -194,41 +200,55 @@ def _prb_bounce(scene: SceneData, key, bounce, carry):
     rad = rad + jnp.where(found[:, None], thr * em, 0.0)
     new_alive = found & sc.scattered
 
-    # albedo gradient: d rad / d A_j = (rad_total - prefix_j) / A_j
-    albedo_mask = new_alive & (
-        (mtype == MAT_LAMBERTIAN) | (mtype == MAT_ISOTROPIC)
-    )
-    suffix = rad_total - rad  # radiance strictly after this bounce
-    a_safe = jnp.maximum(aux.tex_value, _A_EPS)
-    alb_contrib = g * suffix / a_safe
+    if accumulate:
+        # albedo gradient: d rad / d A_j = (rad_total - prefix_j) / A_j
+        albedo_mask = new_alive & (
+            (mtype == MAT_LAMBERTIAN) | (mtype == MAT_ISOTROPIC)
+        )
+        suffix = rad_total - rad  # radiance strictly after this bounce
+        a_safe = jnp.maximum(aux.tex_value, _A_EPS)
+        alb_contrib = g * suffix / a_safe
 
-    # A diffuse light never scatters (emit_mask ⊆ ~new_alive) so the
-    # emission and albedo masks are disjoint per ray — both texture-leaf
-    # accumulations merge into ONE one-hot matmul and ONE gated scatter
-    # per bounce.
-    leaf_contrib = jnp.where(emit_mask[:, None], g * thr, alb_contrib)
-    leaf_mask = emit_mask | albedo_mask
-    gcol = _one_hot_add(
-        gcol, aux.leaf_tex, leaf_contrib, leaf_mask & aux.leaf_is_solid
-    )
-    if has_images:
-        gimg = _gimg_add(
-            gimg, aux.texel, leaf_contrib, leaf_mask & aux.leaf_is_image
+        # A diffuse light never scatters (emit_mask ⊆ ~new_alive) so the
+        # emission and albedo masks are disjoint per ray — both
+        # texture-leaf accumulations merge into ONE one-hot matmul and
+        # ONE gated scatter per bounce.
+        leaf_contrib = jnp.where(emit_mask[:, None], g * thr, alb_contrib)
+        leaf_mask = emit_mask | albedo_mask
+        gcol = _one_hot_add(
+            gcol, aux.leaf_tex, leaf_contrib, leaf_mask & aux.leaf_is_solid
+        )
+        if has_images:
+            gimg = _gimg_add(
+                gimg, aux.texel, leaf_contrib, leaf_mask & aux.leaf_is_image
+            )
+
+        # metal albedo: the Specular coefficient is the albedo itself
+        # (reference metal.rs:31-46), so the same suffix/A trick applies,
+        # keyed by material row instead of texture leaf
+        metal_mask = new_alive & (mtype == MAT_METAL)
+        met_safe = jnp.maximum(
+            take_rows(scene.materials.albedo, hit.material), _A_EPS
+        )
+        gmet = _one_hot_add(
+            gmet, hit.material, g * suffix / met_safe, metal_mask
         )
 
-    # metal albedo: the Specular coefficient is the albedo itself
-    # (reference metal.rs:31-46), so the same suffix/A trick applies,
-    # keyed by material row instead of texture leaf
-    metal_mask = new_alive & (mtype == MAT_METAL)
-    met_safe = jnp.maximum(
-        take_rows(scene.materials.albedo, hit.material), _A_EPS
+    # scalar-parameter reach: a path's radiance depends on fuzz / IR
+    # only if it hits a metal or dielectric somewhere — EXACTLY zero
+    # derivative otherwise.  The flag feeds the subset tangent replay
+    # (render/prb_scalar.py).
+    from ray_tracing_tpu.models.scene import MAT_DIELECTRIC
+
+    touched = touched | (
+        found & ((mtype == MAT_METAL) | (mtype == MAT_DIELECTRIC))
     )
-    gmet = _one_hot_add(gmet, hit.material, g * suffix / met_safe, metal_mask)
 
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
-    return rad, thr, ro, rd, new_alive, ids, (gcol, gimg, gmet), g, rad_total
+    return (rad, thr, ro, rd, new_alive, ids, touched, (gcol, gimg, gmet),
+            g, rad_total)
 
 
 def _zero_grads(scene):
@@ -248,6 +268,16 @@ def _zero_grads(scene):
     )
 
 
+def _empty_grads():
+    """Zero-size accumulators for radiance-only replays
+    (accumulate=False): structurally identical pytree, no traffic."""
+    return (
+        jnp.zeros((0, 3), jnp.float32),
+        jnp.zeros((3, 0, 128), jnp.float32),
+        jnp.zeros((0, 3), jnp.float32),
+    )
+
+
 def grads_image_flat(gacc, scene):
     """The (I*H*W, 3) texel-major view of a replay's image gradient."""
     from ray_tracing_tpu.ops.pallas_scatter import from_planar
@@ -256,38 +286,60 @@ def grads_image_flat(gacc, scene):
     return from_planar(gacc[1], max(i * h * w, 1))
 
 
-def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g):
+def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g,
+                   alive0=None, ids0=None, accumulate=True):
     """Replay the dense loop; returns ((gcol, gimg_planar, gmet),
-    replayed_rad (N,3))."""
+    replayed_rad (N,3), touched (N,) — rays whose path reaches a
+    metal / dielectric).  ``alive0`` restricts the replay to a subset
+    of rays (the rest output zero radiance); ``ids0`` supplies the rays'
+    ORIGINAL ids so a gathered subset keeps its original uniforms;
+    ``accumulate=False`` skips the gradient accumulators (radiance-only
+    replay for the scalar tangent pass)."""
     n = ro.shape[0]
+    alive = jnp.ones((n,), bool) if alive0 is None else alive0
+    ids = jnp.arange(n, dtype=jnp.int32) if ids0 is None else ids0
     carry = (
         jnp.zeros((n, 3), jnp.float32),
         jnp.ones((n, 3), jnp.float32),
         ro, rd,
-        jnp.ones((n,), bool),
-        jnp.arange(n, dtype=jnp.int32),
-        _zero_grads(scene),
+        alive,
+        ids,
+        jnp.zeros((n,), bool),
+        _zero_grads(scene) if accumulate else _empty_grads(),
         g, rad_total,
     )
 
     def body(b, c):
-        return _prb_bounce(scene, key, b, c)
+        return _prb_bounce(scene, key, b, c, accumulate=accumulate)
 
-    rad, thr, ro, rd, alive, ids, gacc, _, _ = jax.lax.fori_loop(
+    rad, thr, ro, rd, alive, ids, touched, gacc, _, _ = jax.lax.fori_loop(
         0, max_depth, body, carry
     )
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    return gacc, rad
+    if alive0 is not None:
+        rad = jnp.where(alive0[:, None], rad, 0.0)
+    return gacc, rad, touched
 
 
 def prb_grad_compacted(
     scene, ro, rd, key, max_depth, rad_total, g,
     *, stage_bounces: int = 4, chunk_div: int | None = None,
+    alive0=None, ids0=None, accumulate=True,
 ):
-    """Replay of integrator.trace_compacted's exact staged schedule
-    (same keys -> same sorts -> same paths), accumulating gradients.
-    Structure is deliberately kept in lock-step with trace_compacted;
-    tests assert the replayed radiance equals the forward output."""
+    """Replay of integrator.trace_compacted's staged compaction
+    schedule, accumulating gradients.  Uniforms are keyed by (ray id,
+    bounce), so the replayed paths are identical to the forward's no
+    matter the layout; tests assert the replayed radiance equals the
+    forward output bit-for-bit.
+
+    ``alive0`` restricts the replay to a subset of rays (the scalar
+    tangent pass runs only on rays that can reach a metal/dielectric);
+    the wavefront is then compacted immediately, so the excluded rays
+    cost one sort and nothing more.  ``ids0`` supplies the rays'
+    ORIGINAL ids (a gathered subset keeps its original uniforms — the
+    RNG is layout-invariant).  Returns ((gcol, gimg_planar, gmet),
+    replayed_rad, touched) with rad/touched in input row order.
+    """
     from ray_tracing_tpu.render.integrator import default_chunk_div
 
     n = ro.shape[0]
@@ -298,9 +350,11 @@ def prb_grad_compacted(
 
     rad = jnp.zeros((n, 3), jnp.float32)
     thr = jnp.ones((n, 3), jnp.float32)
-    alive = jnp.ones((n,), bool)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    gacc = _zero_grads(scene)
+    alive = jnp.ones((n,), bool) if alive0 is None else alive0
+    ids = jnp.arange(n, dtype=jnp.int32) if ids0 is None else ids0
+    pos = jnp.arange(n, dtype=jnp.int32)  # sorted position -> input row
+    touched = jnp.zeros((n,), bool)
+    gacc = _zero_grads(scene) if accumulate else _empty_grads()
 
     from ray_tracing_tpu.render.integrator import (
         bounded_bounce_loop,
@@ -309,14 +363,17 @@ def prb_grad_compacted(
 
     offset = 0
     for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
-        if stage == 0:
+        if stage == 0 and alive0 is None:
+            # full-width warm stage (everything is alive anyway)
             def body0(b, c, _offset=offset):
-                return _prb_bounce(scene, key, _offset + b, c)
+                return _prb_bounce(scene, key, _offset + b, c,
+                                   accumulate=accumulate)
 
-            rad, thr, ro, rd, alive, ids, gacc, g, rad_total = (
+            rad, thr, ro, rd, alive, ids, touched, gacc, g, rad_total = (
                 jax.lax.fori_loop(
                     0, bounces, body0,
-                    (rad, thr, ro, rd, alive, ids, gacc, g, rad_total),
+                    (rad, thr, ro, rd, alive, ids, touched, gacc, g,
+                     rad_total),
                 )
             )
             offset += bounces
@@ -329,48 +386,53 @@ def prb_grad_compacted(
         rd = rd[order]
         alive = alive[order]
         ids = ids[order]
+        pos = pos[order]
+        touched = touched[order]
         g = g[order]
         rad_total = rad_total[order]
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
         def chunk_body(state, _offset=offset):
-            ci, rad, thr, ro, rd, alive, ids, gacc, g, rt = state
+            ci, rad, thr, ro, rd, alive, ids, touched, gacc, g, rt = state
             start = ci * chunk
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
             c_carry = (
                 sl(rad), sl(thr), sl(ro), sl(rd), sl(alive), sl(ids),
-                gacc, sl(g), sl(rt),
+                sl(touched), gacc, sl(g), sl(rt),
             )
 
             def bodyc(b, c):
-                return _prb_bounce(scene, key, _offset + b, c)
+                return _prb_bounce(scene, key, _offset + b, c,
+                                   accumulate=accumulate)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, c_ids, gacc2, _, _ = (
-                bounded_bounce_loop(bounces, bodyc, c_carry, lambda c: c[4])
+            (c_rad, c_thr, c_ro, c_rd, c_alive, c_ids, c_touched, gacc2,
+             _, _) = bounded_bounce_loop(
+                bounces, bodyc, c_carry, lambda c: c[4]
             )
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
             return (
                 ci + 1,
                 upd(rad, c_rad), upd(thr, c_thr), upd(ro, c_ro),
                 upd(rd, c_rd), upd(alive, c_alive), upd(ids, c_ids),
-                gacc2, g, rt,
+                upd(touched, c_touched), gacc2, g, rt,
             )
 
         def chunk_cond(state):
             return state[0] * chunk < alive_count
 
-        _, rad, thr, ro, rd, alive, ids, gacc, g, rad_total = (
+        _, rad, thr, ro, rd, alive, ids, touched, gacc, g, rad_total = (
             jax.lax.while_loop(
                 chunk_cond, chunk_body,
-                (jnp.int32(0), rad, thr, ro, rd, alive, ids, gacc, g,
-                 rad_total),
+                (jnp.int32(0), rad, thr, ro, rd, alive, ids, touched, gacc,
+                 g, rad_total),
             )
         )
         offset += bounces
 
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    rad_out = jnp.zeros_like(rad).at[ids].set(rad)
-    return gacc, rad_out
+    rad_out = jnp.zeros_like(rad).at[pos].set(rad)
+    touched_out = jnp.zeros((n,), bool).at[pos].set(touched)
+    return gacc, rad_out, touched_out
 
 
 def prb_radiance_full(

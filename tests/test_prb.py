@@ -236,11 +236,11 @@ def test_prb_replay_reproduces_forward_exactly():
     g = jnp.ones_like(ro)
 
     rad_dense = trace(scene, ro, rd, key, 6)
-    _, replay_dense = prb_grad_dense(scene, ro, rd, key, 6, rad_dense, g)
+    _, replay_dense, _ = prb_grad_dense(scene, ro, rd, key, 6, rad_dense, g)
     np.testing.assert_array_equal(np.asarray(rad_dense), np.asarray(replay_dense))
 
     rad_c = trace_compacted(scene, ro, rd, key, 6)
-    _, replay_c = prb_grad_compacted(scene, ro, rd, key, 6, rad_c, g)
+    _, replay_c, _ = prb_grad_compacted(scene, ro, rd, key, 6, rad_c, g)
     np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(replay_c))
 
 
@@ -254,7 +254,7 @@ def test_prb_compacted_replay_exact_with_images():
     g = jnp.ones_like(ro)
 
     rad_c = trace_compacted(scene, ro, rd, key, 6)
-    _, replay_c = prb_grad_compacted(scene, ro, rd, key, 6, rad_c, g)
+    _, replay_c, _ = prb_grad_compacted(scene, ro, rd, key, 6, rad_c, g)
     np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(replay_c))
 
 
