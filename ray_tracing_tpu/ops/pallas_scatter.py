@@ -69,10 +69,17 @@ def from_planar(gplanar: jnp.ndarray, p: int) -> jnp.ndarray:
 def _kernel(texel_ref, cr_ref, cg_ref, cb_ref, g_in, g_out):
     """One grid step: accumulate ROW_CHUNK rows into the planar table.
 
-    g_in is aliased to g_out (the whole table stays resident in VMEM
-    across grid steps; the grid is sequential on a TPU core, so the
-    serial RMW is race-free)."""
-    del g_in  # aliased; all access goes through g_out
+    The table stays resident in VMEM across grid steps (constant index
+    map = revisiting) and the grid is sequential on a TPU core, so the
+    serial RMW is race-free.  OUTPUT BLOCKS ARE WRITE-ONLY-UNDEFINED at
+    entry — they are NOT populated from the aliased input buffer — so
+    the first step must copy the table in explicitly or every
+    never-touched (8, 128) region writes garbage back (observed on real
+    TPU as ~1e3 gradient norms; interpret mode hides it)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        g_out[:] = g_in[:]
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)

@@ -77,6 +77,27 @@ def test_all_masked_is_identity():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(g0))
 
 
+def test_kernel_compiled_on_tpu_matches_direct():
+    """Compiled (non-interpret) kernel correctness.  Interpret mode
+    populates output blocks from the aliased input; REAL TPU leaves
+    them undefined — this is the test that would have caught the
+    uninitialized-table bug (gradient norms ~1e3).  Skips off-TPU."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU backend (compiled Mosaic path)")
+    rng = np.random.RandomState(3)
+    p = 4096
+    n = 3 * ROW_CHUNK + 17
+    texel = jnp.asarray(rng.randint(0, p, n), jnp.int32)
+    contrib = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+    mask = jnp.asarray(rng.rand(n) < 0.3)
+    base = jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32)
+    got = from_planar(
+        scatter_add_planar(to_planar(base), texel, contrib, mask), p
+    )
+    want = np.asarray(base) + _direct(p, texel, contrib, mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
 def test_planar_roundtrip():
     p = 777
     x = jnp.asarray(np.random.RandomState(1).rand(p, 3), jnp.float32)
