@@ -112,11 +112,11 @@ def _one_hot_add(gacc, leaf, contrib, mask):
 
     contrib is stop_gradient'ed: the accumulators are primal-exact
     gradient OUTPUTS whose own tangents are never consumed (the scalar
-    tangent replay in prb_scalar.py runs jacfwd with has_aux=True and
-    discards aux tangents), so without the stop the jvp would drag a
-    full-size accumulator tangent stream per scalar parameter through
-    every loop carry.  Second derivatives of the PRB gradients are not
-    a supported surface.
+    tangent replay in prb_scalar.py jacfwd's a radiance-only replay),
+    so without the stop a jvp would drag a full-size accumulator
+    tangent stream per scalar parameter through every loop carry.
+    Second derivatives of the PRB gradients are not a supported
+    surface.
     """
     t = gacc.shape[0]
     contrib = jax.lax.stop_gradient(contrib)
