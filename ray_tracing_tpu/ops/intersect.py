@@ -428,10 +428,28 @@ def intersect_scene(
             bh = bvh_traverse_triangles(scene.bvh, ro, rd, t_min, t_max)
             consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
         elif strategy == "sweep":
-            consider(
-                *_triangle_sweep_phase_a(scene, ro, rd, t_min, t_max),
-                KIND_TRIANGLE,
-            )
+            use_tri_pallas = False
+            if os.environ.get("RAY_TPU_NO_PALLAS") != "1":
+                from ray_tracing_tpu.ops.pallas_triangles import (
+                    pallas_triangle_sweep,
+                    pallas_triangles_eligible,
+                )
+
+                # the kernel hardcodes the (EPSILON, INF) window
+                use_tri_pallas = (
+                    pallas_triangles_eligible(scene)
+                    and t_min == geo.EPSILON
+                    and t_max == INF
+                    and jax.default_backend() in ("tpu", "axon")
+                )
+            if use_tri_pallas:
+                tt, ti, tm = pallas_triangle_sweep(scene, ro, rd)
+                consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
+            else:
+                consider(
+                    *_triangle_sweep_phase_a(scene, ro, rd, t_min, t_max),
+                    KIND_TRIANGLE,
+                )
         elif strategy == "cluster":
             ct, ci, cm = _triangle_cluster_phase_a(scene, ro, rd, t_min, t_max)
             consider_per_ray(ct, ci, cm, KIND_TRIANGLE)

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for the dense triangle sweep.
+
+The XLA triple-product sweep (geometry.triangle_sweep_t) materializes
+(N, T) candidate grids through HBM between the dot products, the mask
+chain and the argmin.  This kernel keeps a (64, 128)-ray block resident
+in VMEM and streams the triangle constants through SMEM in chunks,
+reducing to the per-ray winner in registers — each ray block is read
+once and only (t, index, found) come back.  An MXU formulation was
+measured 1.8x SLOWER (the K=3 contraction uses 2% of the systolic
+array), so the inner loop is pure VPU FMAs like the XLA path.
+
+Grid = (ray blocks, triangle chunks) with the triangle axis iterated
+fastest: the per-ray winner blocks use a constant index map along that
+axis, so Mosaic keeps them resident across chunk steps (revisiting) —
+and, because output blocks are write-only-UNDEFINED at entry, the first
+chunk step initializes them explicitly (the same gotcha
+ops/pallas_scatter.py documents).
+
+Math and tie-breaking match geometry.triangle_sweep_t + argmin exactly:
+strictly-smaller t wins, so equal-t ties keep the lowest global index;
+padded rows carry n == 0 whose det masks out (the cluster sweep's
+convention).  Selection-only, like the other Pallas paths: gradients
+flow through Phase B's record rebuild.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 64  # 8192 rays per program
+TRI_CHUNK = 1024  # triangle constants per SMEM block (64 KB)
+
+EPSILON = 1e-3
+INF = np.float32(np.inf)
+
+
+def pack_triangle_table(tr) -> jnp.ndarray:
+    """(16, T) sweep constants (component-major: SMEM windows pad the
+    MINOR dimension to 128, so a (chunk, 16) layout would waste 8x and
+    overflow SMEM — measured: a (1024, 16) window allocated 1 MB):
+    rows = [e12(3) e13(3) n(3) g1(3) g2(3) d0], zero-padded to a
+    TRI_CHUNK multiple (padded rows have n == 0 so the det mask kills
+    them)."""
+    tbl = jnp.concatenate(
+        [tr.e12, tr.e13, tr.sw_n, tr.sw_g1, tr.sw_g2, tr.sw_d0[:, None]],
+        axis=1,
+    ).astype(jnp.float32)
+    t = tbl.shape[0]
+    pad = -t % TRI_CHUNK
+    if pad:
+        tbl = jnp.pad(tbl, ((0, pad), (0, 0)))
+    return tbl.T
+
+
+def _kernel(n_tri, tri_ref,
+            rox, roy, roz, rdx, rdy, rdz,
+            t_out, idx_out, found_out):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_out[:] = jnp.full(t_out.shape, INF, jnp.float32)
+        idx_out[:] = jnp.zeros(idx_out.shape, jnp.int32)
+        found_out[:] = jnp.zeros(found_out.shape, jnp.int32)
+
+    ro = (rox[:], roy[:], roz[:])  # already origin-translated
+    rd = (rdx[:], rdy[:], rdz[:])
+    # m = ro_s x rd, shared across all triangles of this ray block
+    mx = ro[1] * rd[2] - ro[2] * rd[1]
+    my = ro[2] * rd[0] - ro[0] * rd[2]
+    mz = ro[0] * rd[1] - ro[1] * rd[0]
+
+    base = j * TRI_CHUNK
+    # triangles remaining in this chunk (last chunk may be padded, and
+    # padded rows are harmless, so run the full chunk: static trip count)
+    del n_tri
+
+    def body(t, carry):
+        best_t, best_idx, found = carry
+        e12x, e12y, e12z = tri_ref[0, t], tri_ref[1, t], tri_ref[2, t]
+        e13x, e13y, e13z = tri_ref[3, t], tri_ref[4, t], tri_ref[5, t]
+        nx, ny, nz = tri_ref[6, t], tri_ref[7, t], tri_ref[8, t]
+        g1x, g1y, g1z = tri_ref[9, t], tri_ref[10, t], tri_ref[11, t]
+        g2x, g2y, g2z = tri_ref[12, t], tri_ref[13, t], tri_ref[14, t]
+        d0 = tri_ref[15, t]
+
+        det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
+        mask = jnp.abs(det) > 0.0
+        inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+        u = inv * (
+            (mx * e13x + my * e13y + mz * e13z)
+            - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
+        )
+        mask = mask & (u >= 0.0) & (u <= 1.0)
+        v = inv * (
+            (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
+            - (mx * e12x + my * e12y + mz * e12z)
+        )
+        mask = mask & (v >= 0.0) & (u + v <= 1.0)
+        tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
+        mask = mask & (tt >= EPSILON)
+
+        better = mask & (tt < best_t)
+        best_t = jnp.where(better, tt, best_t)
+        best_idx = jnp.where(better, base + t, best_idx)
+        found = jnp.where(better, 1, found)
+        return best_t, best_idx, found
+
+    best = jax.lax.fori_loop(
+        0, TRI_CHUNK, body, (t_out[:], idx_out[:], found_out[:])
+    )
+    t_out[:], idx_out[:], found_out[:] = best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(tri, rox, roy, roz, rdx, rdy, rdz, *, interpret):
+    rows = rox.shape[0]
+    n_chunks = tri.shape[1] // TRI_CHUNK
+    grid = (rows // BLOCK_ROWS, n_chunks)
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (16, TRI_CHUNK), lambda i, j: (0, j), memory_space=pltpu.SMEM
+    )
+    shape_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    kernel = functools.partial(_kernel, tri.shape[1])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tri_spec, ray_spec, ray_spec, ray_spec,
+                  ray_spec, ray_spec, ray_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[shape_f, shape_i, shape_i],
+        interpret=interpret,
+    )(tri, rox, roy, roz, rdx, rdy, rdz)
+
+
+def pallas_triangle_sweep(scene, ro, rd, interpret: bool = False):
+    """Per-ray nearest-triangle candidate via the Pallas sweep.
+
+    ro, rd: (N, 3) world-space rays.  Returns (t (N,), idx (N,),
+    mask (N,)).  Selection-only: inputs are detached (gradients flow
+    through Phase B), mirroring _triangle_sweep_phase_a."""
+    tr = scene.triangles
+    sg = jax.lax.stop_gradient
+    ro = sg(ro) - sg(tr.sw_origin)[None, :]
+    rd = sg(rd)
+    tri = pack_triangle_table(jax.tree.map(sg, tr))
+
+    n = ro.shape[0]
+    block = BLOCK_ROWS * LANES
+    n_pad = -(-n // block) * block
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    rows = n_pad // LANES
+    comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
+    comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+
+    t, idx, found = _run(tri, *comps, interpret=interpret)
+    return (
+        t.reshape(-1)[:n],
+        idx.reshape(-1)[:n],
+        found.reshape(-1)[:n] != 0,
+    )
+
+
+def pallas_triangles_eligible(scene) -> bool:
+    """Kernel needs the sweep constants; the SMEM-streamed table grows
+    with T, so cap at the sweep strategy's own limit."""
+    return scene.n_triangles > 0 and scene.triangles.has_sweep
