@@ -155,9 +155,20 @@ def main():
         print(f"{name}: {size}^2 x {spp}spp  {per_pass:.3f}s/pass  -> {path}",
               flush=True)
 
-    with open(os.path.join(args.out, "stats.json"), "w") as fh:
-        json.dump(results, fh, indent=1)
-    print("stats ->", os.path.join(args.out, "stats.json"))
+    # merge into any existing stats so a partial --configs run doesn't
+    # drop the other configs' entries
+    stats_path = os.path.join(args.out, "stats.json")
+    merged = {}
+    if os.path.exists(stats_path):
+        try:
+            with open(stats_path) as fh:
+                merged = json.load(fh)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(results)
+    with open(stats_path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    print("stats ->", stats_path)
 
 
 if __name__ == "__main__":
