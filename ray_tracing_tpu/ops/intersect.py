@@ -427,7 +427,7 @@ def intersect_scene(
 
             bh = bvh_traverse_triangles(scene.bvh, ro, rd, t_min, t_max)
             consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
-        elif strategy == "sweep":
+        elif strategy in ("sweep", "cluster"):
             use_tri_pallas = False
             if os.environ.get("RAY_TPU_NO_PALLAS") != "1":
                 from ray_tracing_tpu.ops.pallas_triangles import (
@@ -435,7 +435,10 @@ def intersect_scene(
                     pallas_triangles_eligible,
                 )
 
-                # the kernel hardcodes the (EPSILON, INF) window
+                # the kernel hardcodes the (EPSILON, INF) window.  It
+                # serves BOTH strategies: its per-chunk AABB cull over
+                # Morton-ordered triangles is the two-level cluster
+                # sweep's structure, kept in VMEM/SMEM.
                 use_tri_pallas = (
                     pallas_triangles_eligible(scene)
                     and t_min == geo.EPSILON
@@ -445,14 +448,16 @@ def intersect_scene(
             if use_tri_pallas:
                 tt, ti, tm = pallas_triangle_sweep(scene, ro, rd)
                 consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
-            else:
+            elif strategy == "sweep":
                 consider(
                     *_triangle_sweep_phase_a(scene, ro, rd, t_min, t_max),
                     KIND_TRIANGLE,
                 )
-        elif strategy == "cluster":
-            ct, ci, cm = _triangle_cluster_phase_a(scene, ro, rd, t_min, t_max)
-            consider_per_ray(ct, ci, cm, KIND_TRIANGLE)
+            else:
+                ct, ci, cm = _triangle_cluster_phase_a(
+                    scene, ro, rd, t_min, t_max
+                )
+                consider_per_ray(ct, ci, cm, KIND_TRIANGLE)
         else:
             consider(*_triangle_phase_a(scene, ro, rd, t_min, t_max), KIND_TRIANGLE)
     if scene.n_rects and not use_pallas:

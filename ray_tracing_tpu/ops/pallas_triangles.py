@@ -59,7 +59,27 @@ def pack_triangle_table(tr) -> jnp.ndarray:
     return tbl.T
 
 
-def _kernel(n_tri, tri_ref,
+def pack_chunk_aabbs(tr) -> jnp.ndarray:
+    """(6, Kc) per-TRI_CHUNK AABBs in sweep-origin space: rows
+    [lo(3) hi(3)].  Triangles arrive Morton-sorted for mesh scenes
+    (models/compiler.py), so contiguous chunks are spatially tight —
+    the same property the two-level cluster sweep exploits.  Padded
+    rows use ±inf corners so they never widen a box."""
+    v0 = tr.v0 - tr.sw_origin[None, :]
+    corners = jnp.stack([v0, v0 + tr.e12, v0 + tr.e13])  # (3, T, 3)
+    t = v0.shape[0]
+    pad = -t % TRI_CHUNK
+    lo_c = jnp.pad(corners, ((0, 0), (0, pad), (0, 0)),
+                   constant_values=np.inf)
+    hi_c = jnp.pad(corners, ((0, 0), (0, pad), (0, 0)),
+                   constant_values=-np.inf)
+    kc = (t + pad) // TRI_CHUNK
+    lo = jnp.min(lo_c.reshape(3, kc, TRI_CHUNK, 3), axis=(0, 2))  # (Kc, 3)
+    hi = jnp.max(hi_c.reshape(3, kc, TRI_CHUNK, 3), axis=(0, 2))
+    return jnp.concatenate([lo, hi], axis=1).T.astype(jnp.float32)
+
+
+def _kernel(n_tri, aabb_ref, tri_ref,
             rox, roy, roz, rdx, rdy, rdz,
             t_out, idx_out, found_out):
     j = pl.program_id(1)
@@ -72,55 +92,73 @@ def _kernel(n_tri, tri_ref,
 
     ro = (rox[:], roy[:], roz[:])  # already origin-translated
     rd = (rdx[:], rdy[:], rdz[:])
-    # m = ro_s x rd, shared across all triangles of this ray block
-    mx = ro[1] * rd[2] - ro[2] * rd[1]
-    my = ro[2] * rd[0] - ro[0] * rd[2]
-    mz = ro[0] * rd[1] - ro[1] * rd[0]
 
-    base = j * TRI_CHUNK
-    # triangles remaining in this chunk (last chunk may be padded, and
-    # padded rows are harmless, so run the full chunk: static trip count)
+    # chunk-AABB cull against the block's rays, windowed by the running
+    # per-ray best_t (slab corner semantics as geometry.triangle_cluster
+    # _sweep_t: IEEE 1/0 = inf; the rare 0*inf NaN compares false = a
+    # conservative miss)
+    window = t_out[:]
+    inv0 = 1.0 / rd[0]
+    inv1 = 1.0 / rd[1]
+    inv2 = 1.0 / rd[2]
+    near = jnp.full(window.shape, EPSILON, jnp.float32)
+    far = window
+    for ax, inv in ((0, inv0), (1, inv1), (2, inv2)):
+        a = (aabb_ref[ax, j] - ro[ax]) * inv
+        b_ = (aabb_ref[3 + ax, j] - ro[ax]) * inv
+        near = jnp.maximum(near, jnp.minimum(a, b_))
+        far = jnp.minimum(far, jnp.maximum(a, b_))
+
+    @pl.when(jnp.any(near <= far))
+    def _():
+        # m = ro_s x rd, shared across all triangles of this ray block
+        mx = ro[1] * rd[2] - ro[2] * rd[1]
+        my = ro[2] * rd[0] - ro[0] * rd[2]
+        mz = ro[0] * rd[1] - ro[1] * rd[0]
+
+        base = j * TRI_CHUNK
+
+        def body(t, carry):
+            best_t, best_idx, found = carry
+            e12x, e12y, e12z = tri_ref[0, t], tri_ref[1, t], tri_ref[2, t]
+            e13x, e13y, e13z = tri_ref[3, t], tri_ref[4, t], tri_ref[5, t]
+            nx, ny, nz = tri_ref[6, t], tri_ref[7, t], tri_ref[8, t]
+            g1x, g1y, g1z = tri_ref[9, t], tri_ref[10, t], tri_ref[11, t]
+            g2x, g2y, g2z = tri_ref[12, t], tri_ref[13, t], tri_ref[14, t]
+            d0 = tri_ref[15, t]
+
+            det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
+            mask = jnp.abs(det) > 0.0
+            inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+            u = inv * (
+                (mx * e13x + my * e13y + mz * e13z)
+                - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
+            )
+            mask = mask & (u >= 0.0) & (u <= 1.0)
+            v = inv * (
+                (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
+                - (mx * e12x + my * e12y + mz * e12z)
+            )
+            mask = mask & (v >= 0.0) & (u + v <= 1.0)
+            tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
+            mask = mask & (tt >= EPSILON)
+
+            better = mask & (tt < best_t)
+            best_t = jnp.where(better, tt, best_t)
+            best_idx = jnp.where(better, base + t, best_idx)
+            found = jnp.where(better, 1, found)
+            return best_t, best_idx, found
+
+        best = jax.lax.fori_loop(
+            0, TRI_CHUNK, body, (t_out[:], idx_out[:], found_out[:])
+        )
+        t_out[:], idx_out[:], found_out[:] = best
+
     del n_tri
-
-    def body(t, carry):
-        best_t, best_idx, found = carry
-        e12x, e12y, e12z = tri_ref[0, t], tri_ref[1, t], tri_ref[2, t]
-        e13x, e13y, e13z = tri_ref[3, t], tri_ref[4, t], tri_ref[5, t]
-        nx, ny, nz = tri_ref[6, t], tri_ref[7, t], tri_ref[8, t]
-        g1x, g1y, g1z = tri_ref[9, t], tri_ref[10, t], tri_ref[11, t]
-        g2x, g2y, g2z = tri_ref[12, t], tri_ref[13, t], tri_ref[14, t]
-        d0 = tri_ref[15, t]
-
-        det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
-        mask = jnp.abs(det) > 0.0
-        inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
-        u = inv * (
-            (mx * e13x + my * e13y + mz * e13z)
-            - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
-        )
-        mask = mask & (u >= 0.0) & (u <= 1.0)
-        v = inv * (
-            (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
-            - (mx * e12x + my * e12y + mz * e12z)
-        )
-        mask = mask & (v >= 0.0) & (u + v <= 1.0)
-        tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
-        mask = mask & (tt >= EPSILON)
-
-        better = mask & (tt < best_t)
-        best_t = jnp.where(better, tt, best_t)
-        best_idx = jnp.where(better, base + t, best_idx)
-        found = jnp.where(better, 1, found)
-        return best_t, best_idx, found
-
-    best = jax.lax.fori_loop(
-        0, TRI_CHUNK, body, (t_out[:], idx_out[:], found_out[:])
-    )
-    t_out[:], idx_out[:], found_out[:] = best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(tri, rox, roy, roz, rdx, rdy, rdz, *, interpret):
+def _run(aabb, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret):
     rows = rox.shape[0]
     n_chunks = tri.shape[1] // TRI_CHUNK
     grid = (rows // BLOCK_ROWS, n_chunks)
@@ -133,18 +171,19 @@ def _run(tri, rox, roy, roz, rdx, rdy, rdz, *, interpret):
     tri_spec = pl.BlockSpec(
         (16, TRI_CHUNK), lambda i, j: (0, j), memory_space=pltpu.SMEM
     )
+    aabb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (6, Kc)
     shape_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     kernel = functools.partial(_kernel, tri.shape[1])
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tri_spec, ray_spec, ray_spec, ray_spec,
+        in_specs=[aabb_spec, tri_spec, ray_spec, ray_spec, ray_spec,
                   ray_spec, ray_spec, ray_spec],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[shape_f, shape_i, shape_i],
         interpret=interpret,
-    )(tri, rox, roy, roz, rdx, rdy, rdz)
+    )(aabb, tri, rox, roy, roz, rdx, rdy, rdz)
 
 
 def pallas_triangle_sweep(scene, ro, rd, interpret: bool = False):
@@ -157,18 +196,21 @@ def pallas_triangle_sweep(scene, ro, rd, interpret: bool = False):
     sg = jax.lax.stop_gradient
     ro = sg(ro) - sg(tr.sw_origin)[None, :]
     rd = sg(rd)
-    tri = pack_triangle_table(jax.tree.map(sg, tr))
+    tr_sg = jax.tree.map(sg, tr)
+    tri = pack_triangle_table(tr_sg)
+    aabb = pack_chunk_aabbs(tr_sg)
 
     n = ro.shape[0]
     block = BLOCK_ROWS * LANES
     n_pad = -(-n // block) * block
-    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+    # pad rays far outside every chunk AABB so they never veto a cull
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)), constant_values=1e30)
     rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
     rows = n_pad // LANES
     comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
     comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
 
-    t, idx, found = _run(tri, *comps, interpret=interpret)
+    t, idx, found = _run(aabb, tri, *comps, interpret=interpret)
     return (
         t.reshape(-1)[:n],
         idx.reshape(-1)[:n],
