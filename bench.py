@@ -100,7 +100,7 @@ def main():
     enable_compile_cache()
 
     from ray_tracing_tpu import load_scene_json
-    from ray_tracing_tpu.models.camera import Camera, sample_st
+    from ray_tracing_tpu.models.camera import Camera, camera_rays
     from ray_tracing_tpu.render.renderer import render_pass, _pick_tile_size
 
     bundle = load_scene_json("data/zy_scene.json")
@@ -148,11 +148,7 @@ def main():
         n_tiles = n // tile
 
         def fwd(params, s, key):
-            k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
-            st = sample_st(k_st, WIDTH, HEIGHT, True)
-            u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
-            u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
-            ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+            ro, rd, _, k_trace = camera_rays(camera, key, WIDTH, HEIGHT, True)
             ro = ro.reshape(n_tiles, tile, 3)
             rd = rd.reshape(n_tiles, tile, 3)
             tile_ids = jnp.arange(n_tiles, dtype=jnp.uint32)
@@ -197,12 +193,19 @@ def main():
     loss, segs, g = fwd_bwd(bench_params, scene, bench_key(0))
     float(loss)
 
+    # Timed loop: dispatch every pass, then ONE host sync.  Passes in a
+    # real fit chain on-device (params' = params - lr*grad) without host
+    # round trips, and block_until_ready does not block through the axon
+    # tunnel (CLAUDE.md hazard 2) — so steady-state throughput is K
+    # dispatches + one sync, not a ~30-100 ms tunnel round trip per pass.
     t0 = time.perf_counter()
     total_segments = 0.0
+    outs = []
     for i in range(1, PASSES + 1):
-        loss, segs, g = fwd_bwd(bench_params, scene, bench_key(i))
+        outs.append(fwd_bwd(bench_params, scene, bench_key(i)))
+    for i, (loss, segs, g) in enumerate(outs):
         float(loss)
-        total_segments += seg_counts[i - 1] if not use_ad else float(segs)
+        total_segments += seg_counts[i] if not use_ad else float(segs)
     dt = time.perf_counter() - t0
 
     rays_per_s = total_segments / dt

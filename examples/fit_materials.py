@@ -39,7 +39,7 @@ import numpy as np
 import optax
 
 from ray_tracing_tpu import Camera, CameraParam, SceneBuilder
-from ray_tracing_tpu.models.camera import sample_st
+from ray_tracing_tpu.models.camera import camera_rays
 from ray_tracing_tpu.render.prb_scalar import AllParams, params_of, prb_radiance_all
 
 
@@ -81,11 +81,7 @@ def main():
     true_params = params_of(scene)
 
     def render(params, key):
-        k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
-        st = sample_st(k_st, w, h, True)
-        u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
-        u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
-        ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+        ro, rd, _, k_trace = camera_rays(camera, key, w, h, True)
         rad = prb_radiance_all(
             params, scene, ro, rd, k_trace, args.depth
         )

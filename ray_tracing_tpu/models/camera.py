@@ -128,6 +128,40 @@ class Camera:
         return source, direction, time
 
 
+def camera_rays(camera: "Camera", key, width: int, height: int,
+                antialias: bool = True):
+    """Primary rays + the trace subkey for one full-image 1-spp pass.
+
+    The five per-ray camera uniforms (pixel jitter x2, lens x2, shutter
+    time) come from the same (ray id)-keyed double-PCG counter hash the
+    bounce loop uses (ops/rng.ray_uniforms) instead of threefry draws:
+    generating ~5M threefry floats for a 1024x1024 pass measured ~60 ms
+    on the TPU VPU, the counter hash ~2 ms, and the per-(key, ray id,
+    column) independence argument is the bounce uniforms' own.  Returns
+    ``(ro, rd, time, k_trace)`` — ``k_trace`` is the subkey the caller
+    hands to the integrator, so primary and bounce streams stay
+    independent (reference camera.rs:113-129 for the ray model).
+    """
+    import jax
+
+    from ray_tracing_tpu.ops.rng import ray_uniforms
+
+    n = width * height
+    k_prim, k_trace = jax.random.split(key)
+    u = ray_uniforms(k_prim, jnp.arange(n, dtype=jnp.int32), 0, 5)
+    cols = jnp.arange(width, dtype=jnp.float32)[None, :]  # i
+    rows = jnp.arange(height - 1, -1, -1, dtype=jnp.float32)[:, None]
+    if antialias:
+        s = (cols + u[:, 0].reshape(height, width) - 0.5) / width
+        t = (rows + u[:, 1].reshape(height, width) - 0.5) / height
+    else:
+        s = jnp.broadcast_to(cols / width, (height, width))
+        t = jnp.broadcast_to(rows / height, (height, width))
+    st = jnp.stack([s.reshape(-1), t.reshape(-1)], axis=-1)
+    ro, rd, time = camera.get_rays(st, u[:, 2], u[:, 3], u[:, 4])
+    return ro, rd, time, k_trace
+
+
 def sample_st(key, width: int, height: int, antialias: bool) -> jnp.ndarray:
     """Viewport sample positions for one full-image pass, top row first
     (reference renderer.rs:94-122: iproduct!((0..h).rev(), 0..w)).

@@ -141,6 +141,11 @@ def texture_value(tt: TextureTable, idx, uv, p, *, with_leaf: bool = False):
     # 64k rays on TPU and noise is 8 corner-hashes x octaves, but most
     # bounce blocks contain no ray that hit those materials.
     if tt.images.shape[0] > 0:
+        # NB a masked Pallas VMEM gather (serial row loop, skip-if-masked
+        # — the mirror of ops/pallas_scatter.py) measured SLOWER here:
+        # 39.8 vs 34.4 ms zy forward/tile — earth-sphere hits are dense
+        # enough in the warm stage that the serial per-ray loop loses to
+        # the XLA point gather (docs/PERFORMANCE.md).
         is_img = ttype == TEX_IMAGE
         img = jax.lax.cond(
             jnp.any(is_img),

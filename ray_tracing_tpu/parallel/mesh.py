@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ray_tracing_tpu.models.camera import Camera, sample_st
+from ray_tracing_tpu.models.camera import Camera, camera_rays
 from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.render.integrator import trace
 
@@ -84,11 +84,7 @@ def sharded_render_pass(
     n_dev = mesh.devices.size
     n_pad = _pad_to(n, n_dev)
 
-    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
-    st = sample_st(k_st, width, height, antialias)
-    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
-    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
-    ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    ro, rd, _, k_trace = camera_rays(camera, key, width, height, antialias)
     if n_pad != n:
         ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
         rd = jnp.concatenate(
@@ -123,11 +119,7 @@ def sharded_prb_render(
     n_dev = mesh.devices.size
     n_pad = _pad_to(n, n_dev)
 
-    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
-    st = sample_st(k_st, width, height, True)
-    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
-    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
-    ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    ro, rd, _, k_trace = camera_rays(camera, key, width, height, True)
     if n_pad != n:
         ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
         rd = jnp.concatenate(
@@ -185,11 +177,7 @@ def sharded_prb_render_all(
     n_dev = mesh.devices.size
     n_pad = _pad_to(n, n_dev)
 
-    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
-    st = sample_st(k_st, width, height, True)
-    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
-    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
-    ro, rd, _ = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    ro, rd, _, k_trace = camera_rays(camera, key, width, height, True)
     if n_pad != n:
         ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
         rd = jnp.concatenate(

@@ -33,46 +33,9 @@ from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.ops.geometry import EPSILON, INF
 from ray_tracing_tpu.ops.intersect import intersect_scene
 from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
-
-
-def _pcg(x):
-    """One PCG-RXS-M-XS round on uint32 — a well-mixed permutation."""
-    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
-    x = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(
-        277803737
-    )
-    return (x >> jnp.uint32(22)) ^ x
-
-
-def ray_uniforms(key, ids, bounce, n_cols: int):
-    """(n, n_cols) uniforms for one bounce, keyed per **ray id** — a
-    pure function of (key, ray id, bounce, column), independent of
-    where the ray currently sits in the (possibly compacted) wavefront.
-
-    Implemented as a double-PCG counter hash rather than per-ray
-    ``fold_in`` + ``uniform``: vmapping threefry over rays puts the
-    13-column minor dimension on the 128 TPU lanes (measured +26% on a
-    whole forward pass), while this form is a handful of uint32 VPU ops
-    in ray-major layout.  Statistical quality is the PCG output
-    permutation applied twice with independent key-derived offsets; the
-    estimator test battery (furnace, MIS unbiasedness, closed-form
-    oracles, PRB==AD==FD) pins the Monte Carlo quality.
-    """
-    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    # fold every key word plus the bounce into two 32-bit seeds
-    s1 = jnp.uint32(0x9E3779B9)
-    for w in kd:
-        s1 = _pcg(s1 ^ w)
-    s1 = _pcg(s1 + jnp.asarray(bounce, jnp.uint32))
-    s2 = _pcg(s1 ^ jnp.uint32(0x85EBCA6B))
-
-    base = _pcg(ids.astype(jnp.uint32) ^ s1)  # (n,)
-    cols = _pcg(
-        jnp.arange(n_cols, dtype=jnp.uint32) * jnp.uint32(0x632BE59B) + s2
-    )  # (n_cols,)
-    h = _pcg(base[:, None] + cols[None, :])  # (n, n_cols)
-    # 24 high bits -> [0, 1), the jax.random.uniform convention
-    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+from ray_tracing_tpu.ops.rng import ray_uniforms  # noqa: F401  (canonical home
+# is ops/rng.py; re-exported here because the PRB replays import it from
+# the integrator, whose (ray id, bounce) keying contract it implements)
 
 
 def _bounce(scene: SceneData, key, bounce, carry):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ray_tracing_tpu.models.camera import Camera, CameraParam, sample_st
+from ray_tracing_tpu.models.camera import Camera, CameraParam, camera_rays
 from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.render.integrator import trace, trace_compacted
 
@@ -82,11 +82,7 @@ def render_pass(
     integrator.trace).
     """
     n = width * height
-    k_st, k_lens, k_time, k_trace = jax.random.split(key, 4)
-    st = sample_st(k_st, width, height, antialias)
-    u_lens = jax.random.uniform(k_lens, (n, 2), dtype=jnp.float32)
-    u_time = jax.random.uniform(k_time, (n,), dtype=jnp.float32)
-    ro, rd, _time = camera.get_rays(st, u_lens[:, 0], u_lens[:, 1], u_time)
+    ro, rd, _time, k_trace = camera_rays(camera, key, width, height, antialias)
 
     n_tiles = -(-n // tile_size)
     pad = n_tiles * tile_size - n
