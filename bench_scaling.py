@@ -61,6 +61,7 @@ def main():
     from ray_tracing_tpu.parallel.mesh import (
         RAY_AXIS, make_mesh,
     )
+    from ray_tracing_tpu.render.integrator import trace
     from ray_tracing_tpu.render.prb import prb_radiance
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -115,6 +116,33 @@ def main():
             l, g = jax.value_and_grad(loss)(colors)
             return l, g
 
+        # Untimed: traced-segment counts for the benchmark keys — the
+        # SAME numerator bench.py uses (a "ray" = one traced path
+        # segment, counted per bounce while alive), so rays/s here and
+        # the headline are directly comparable (VERDICT r3 item 6).
+        # The count is estimator-determined (bit-identical across
+        # execution strategies), so counting via the dense trace is
+        # exact for the PRB path too.
+        def count_shard_fn(scene, ro_s, rd_s, key):
+            dev = jax.lax.axis_index(RAY_AXIS)
+            _, segs = trace(
+                scene, ro_s, rd_s, jax.random.fold_in(key, dev),
+                args.depth, with_stats=True,
+            )
+            return jax.lax.psum(segs, RAY_AXIS)
+
+        count_fn = jax.jit(shard_map(
+            count_shard_fn, mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+            out_specs=P(),
+            check_vma=False,
+        ))
+        seg_counts = [
+            float(count_fn(scene, ro, rd, jax.random.key(i)))
+            for i in range(1, args.passes + 1)
+        ]
+        total_segments = sum(seg_counts)
+
         # compile + warmup
         l, g = fwd_bwd(colors, jax.random.key(0))
         float(l)
@@ -128,15 +156,17 @@ def main():
         np.asarray(outs[-1][0])
         dt = time.perf_counter() - t0
 
-        rays_per_s = n * args.passes / dt
+        rays_per_s = total_segments / dt
         per_dev = rays_per_s / k
         results[k] = per_dev
         print(json.dumps({
-            "metric": f"sharded fwd+bwd primary rays/s ({k} devices)",
+            "metric": f"sharded fwd+bwd rays/s ({k} devices)",
             "value": rays_per_s,
             "unit": "rays/s",
             "per_device": per_dev,
             "devices": k,
+            "segments_per_pass": total_segments / args.passes,
+            "primary_rays_per_pass": n,
         }))
         sys.stdout.flush()
 

@@ -12,7 +12,40 @@ PRB replays layout-invariant (render/integrator.py docstring).
 Statistical quality is the PCG-RXS-M-XS output permutation applied
 twice with independent key-derived offsets; the estimator test battery
 (furnace, MIS unbiasedness, closed-form oracles, PRB==AD==FD) pins the
-Monte Carlo quality.
+Monte Carlo quality, and tests/test_ray_uniforms.py runs marginal /
+decorrelation / chi-square checks at two sample sizes.
+
+Collision / period envelope (everything below is per 32-bit word):
+
+- ``pcg`` is a bijection of uint32, so for a fixed (key, stream,
+  column) the map id -> h is ``pcg(pcg(id ^ s1) + c)`` — a composition
+  of bijections — i.e. a PERMUTATION of the 2^32 id space.  Distinct
+  ray ids never collide in h; marginal uniformity over the full id
+  space is exact (each 24-bit output value appears exactly 256 times).
+- The 24-bit truncation (matching ``jax.random.uniform``) means
+  *values* repeat among ~2^12+ draws (birthday bound) — expected and
+  benign for Monte Carlo; it is h-collisions that would correlate
+  paths, and those cannot happen within a column.
+- Across streams: s1 = pcg(fold(key) + stream) with stream a uint32,
+  so at most 2^32 distinct streams per key and birthday s1-collisions
+  at ~2^16 streams.  The integrator passes the bounce index as the
+  stream (<= max_depth ~ 50), far inside the safe regime.
+- Across columns: column offsets are ``pcg(c * 0x632BE59B + s2)`` —
+  distinct per column for n_cols < 2^32; in practice n_cols <= ~16.
+- DEGRADATION REGIME: ids are cast to uint32, so a wavefront of more
+  than 2^32 rays *per (key, stream)* would alias ids and replay
+  earlier rays' uniforms exactly.  The renderer never approaches this
+  (one pass = W*H <= 2^24 ids) and every pass re-keys, so exceeding
+  2^32 rays*bounces per key requires deliberately reusing one key for
+  ~256 full 1024^2 passes WITHOUT per-pass fold-in — don't do that;
+  fold the pass index into the key (renderer.py does).
+- This is a statistical PRF, not a cryptographic one: 2 PCG rounds
+  give full avalanche for these counter patterns (verified by the
+  chi-square battery) but an adversarial chosen-id pattern could in
+  principle find structure a la PractRand; irrelevant for rendering.
+
+Replaces the reference's per-lane ThreadRng draws
+(reference src/random.rs:6-65), which are not reproducible at all.
 """
 
 from __future__ import annotations

@@ -33,9 +33,9 @@ from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.ops.geometry import EPSILON, INF
 from ray_tracing_tpu.ops.intersect import intersect_scene
 from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
-from ray_tracing_tpu.ops.rng import ray_uniforms  # noqa: F401  (canonical home
-# is ops/rng.py; re-exported here because the PRB replays import it from
-# the integrator, whose (ray id, bounce) keying contract it implements)
+from ray_tracing_tpu.ops.rng import ray_uniforms
+# ray_uniforms is used by _bounce below AND re-exported: the PRB replays
+# import it from here.  Canonical home: ops/rng.py.
 
 
 def _bounce(scene: SceneData, key, bounce, carry):

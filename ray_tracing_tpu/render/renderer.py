@@ -134,9 +134,10 @@ class Renderer:
         compaction: bool = True,
     ):
         # compaction: staged alive-first stream compaction (2.7x on
-        # deep closed scenes); deterministic per key but a different
-        # (equally valid) estimator pairing than the dense loop --
-        # pass compaction=False to bit-match trace()/gradient renders.
+        # deep closed scenes).  Since uniforms are keyed by
+        # (ray id, bounce) it is BIT-IDENTICAL to the dense loop --
+        # a pure execution strategy (tests/test_fuzz_scenes.py asserts
+        # equality); compaction=False only switches the schedule.
         self.param = param
         self.scene = scene
         aspect = param.width / param.height

@@ -300,6 +300,86 @@ def test_golden_regression_scene_json():
     np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
 
 
+def test_golden_regression_bunny_mesh():
+    """Golden for the triangle-mesh surface (BVH build + sweep
+    traversal) via the C4 bunny scene, pinning the mesh path against
+    silent estimator drift (VERDICT r3 item 9).  Every mesh strategy
+    must reproduce the same golden: the default pick exactly, the
+    others to f32 t-rounding tolerance."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    try:
+        from examples.render_baselines import scene_c4
+    finally:
+        sys.path.pop(0)
+
+    b, cam = scene_c4()
+    scene = b.build()
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden",
+                     "bunny_32_d4_key42.npy")
+    )
+
+    def render_mode(mode):
+        if mode:
+            os.environ["RAY_TPU_MESH"] = mode
+        try:
+            r = Renderer(
+                RendererParam(32, 32, max_depth=4), cam, scene,
+                tile_size=1024, compaction=False, early_exit=False,
+            )
+            return np.asarray(r.render(42))
+        finally:
+            os.environ.pop("RAY_TPU_MESH", None)
+
+    np.testing.assert_allclose(render_mode(None), golden,
+                               rtol=1e-5, atol=1e-6)
+    for mode in ("cluster", "brute"):
+        np.testing.assert_allclose(render_mode(mode), golden,
+                                   atol=1e-4, rtol=1e-3)
+
+
+def _medium_golden_scene():
+    """Fog sphere in a lit box corner: the constant-medium double-hit +
+    free-flight sampling path, isolated from meshes."""
+    from ray_tracing_tpu import CameraParam, SceneBuilder
+
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    light = b.add_diffuse_light(b.add_texture_solid((7.0, 7.0, 7.0)))
+    white = b.add_lambertian(b.add_texture_solid((0.73, 0.73, 0.73)))
+    fog = b.add_isotropic(b.add_texture_solid((0.8, 0.85, 0.9)))
+    b.add_rect("zx", -2, 2, -2, 2, 0.0, white, positive=True)
+    b.add_rect("xy", -2, 2, 0, 3, -2.0, white, positive=True)
+    b.add_rect("zx", -0.7, 0.7, -0.7, 0.7, 2.8, light, positive=False,
+               important=True)
+    b.add_medium(1.5, fog, spheres=[((0.0, 1.0, 0.0), 0.8)])
+    cam = CameraParam((0, 1.2, 4.5), (0, 1.0, 0), 40)
+    return b.build(), cam
+
+
+def test_golden_regression_constant_medium():
+    """Golden for the constant-medium path (entry/exit double hit,
+    exponential free flight, isotropic phase function) so volume
+    estimator drift cannot ship silently (VERDICT r3 item 9)."""
+    import os
+
+    scene, cam = _medium_golden_scene()
+    r = Renderer(
+        RendererParam(32, 32, max_depth=4), cam, scene,
+        tile_size=1024, compaction=False, early_exit=False,
+    )
+    img = np.asarray(r.render(42))
+    # sanity: the fog actually contributes (some center pixels scatter)
+    assert np.isfinite(img).all() and img.max() > 0.1
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden",
+                     "medium_32_d4_key42.npy")
+    )
+    np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
+
+
 def test_golden_regression_earth_texture():
     """Golden for the image-texture (atlas gather, UV orientation)
     surface via the C3 earth scene."""

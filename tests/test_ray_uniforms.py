@@ -29,6 +29,31 @@ def test_marginals_uniform():
     assert chi2 < 50, chi2  # chi2(15) 99.99% ~ 44
 
 
+def test_marginals_uniform_large_n():
+    """Second sample size (25x the first): chi-square quality must hold
+    as N grows, not just at one pinned N (VERDICT r3 item 8).  Also
+    checks per-column uniformity so a single bad column cannot hide in
+    the pooled statistic."""
+    n, cols = 500_000, 4
+    u = _draw(key=9, n=n, bounce=1, cols=cols)
+    # pooled 64-bin chi^2: statistic ~ chi2(63); 99.99% quantile ~ 106
+    hist, _ = np.histogram(u, bins=64, range=(0, 1))
+    chi2 = ((hist - u.size / 64) ** 2 / (u.size / 64)).sum()
+    assert chi2 < 120, chi2
+    # per-column 16-bin chi^2 ~ chi2(15); 99.99% ~ 44 (4 columns -> 50)
+    for c in range(cols):
+        hist, _ = np.histogram(u[:, c], bins=16, range=(0, 1))
+        chi2 = ((hist - n / 16) ** 2 / (n / 16)).sum()
+        assert chi2 < 50, (c, chi2)
+    # 2-D serial test on (u_i, u_{i+1}) pairs within a column: 16x16
+    # cells ~ chi2(255); 99.99% ~ 347
+    a, b = u[:-1, 0], u[1:, 0]
+    h2, _, _ = np.histogram2d(a, b, bins=16, range=((0, 1), (0, 1)))
+    e = a.size / 256
+    chi2 = ((h2 - e) ** 2 / e).sum()
+    assert chi2 < 380, chi2
+
+
 def test_decorrelated_across_ids_bounces_columns():
     u = _draw()
     # adjacent ids, same column
