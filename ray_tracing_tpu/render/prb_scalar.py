@@ -200,17 +200,18 @@ def prb_radiance_all(
         # derivative (zy: only ~2% of rays do), and uniforms are keyed
         # by (ray id, bounce), so a GATHERED subset replays its paths
         # bit-exactly.  The touched rays are sorted to the front and
-        # the tangent replay runs on a STATIC n/8-ray prefix — running
-        # it full-width with alive0 alone still paid full-width sorts,
-        # carries and tangent zeros (measured +100 ms/pass at 1024²).
-        # If the touched count ever exceeds the prefix, a lax.cond
-        # falls back to the exact full-width tangent replay.
+        # the tangent replay runs on STATIC cap-ray batches inside a
+        # while_loop: normally ONE iteration (zy: ~3k touched of 131k),
+        # ZERO when nothing is touched, and extra exact batches if the
+        # touched count ever exceeds the cap — no lax.cond fallback to
+        # a full-width replay (the cond alone cost ~15 ms/tile at
+        # 1024²: its giant dead branch blocked fusion around pass 2).
         gfuzz = jnp.zeros_like(p.fuzz)
         gir = jnp.zeros_like(p.ir)
         theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
         if n_scalars:
             n = ro.shape[0]
-            # static subset size: n/8 (measured best at 1024² — n/16's
+            # static batch size: n/8 (measured best at 1024² — n/16's
             # smaller compaction chunks regressed ~100 ms/pass), at
             # least 256 rays, never more than n, and a multiple of 8 so
             # the subset replay's chunk division is exact
@@ -225,39 +226,35 @@ def prb_radiance_all(
                 return _with_all(sc, p._replace(fuzz=fuzz, ir=ir))
 
             count = jnp.sum(touched.astype(jnp.int32))
+            # compact touched rays to the front.  argsort + prefix-
+            # gather beats jnp.nonzero(size=cap) here: the nonzero
+            # lowering scatters and measured ~100 ms/pass slower at
+            # 1024².
+            order = jnp.argsort(~touched, stable=True)
 
-            def run_subset(_):
-                # compact touched rays to a static prefix.  argsort +
-                # prefix-gather beats jnp.nonzero(size=cap) here: the
-                # nonzero lowering scatters and measured ~100 ms/pass
-                # slower at 1024².
-                sub = jnp.argsort(~touched, stable=True)[:cap]
+            def batch_val(theta, start):
+                sub = jax.lax.dynamic_slice_in_dim(order, start, cap)
                 ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
                 rad_s = rad[sub]
-                # rows beyond the touched count are fill and stay dead
-                alive_s = jnp.arange(cap) < count
+                # rows at/after the touched count are fill, stay dead
+                alive_s = (start + jnp.arange(cap, dtype=jnp.int32)) < count
 
-                def val(theta):
-                    _, rad_t, _ = replay_fn(
-                        scene_of(theta), ro_s, rd_s, k, max_depth,
-                        rad_s, g_s, alive0=alive_s, ids0=sub,
-                        accumulate=False,
-                    )
-                    return jnp.vdot(g_s, rad_t)
+                _, rad_t, _ = replay_fn(
+                    scene_of(theta), ro_s, rd_s, k, max_depth,
+                    rad_s, g_s, alive0=alive_s, ids0=sub,
+                    accumulate=False,
+                )
+                return jnp.vdot(g_s, rad_t)
 
-                return jax.jacfwd(val)(theta0)
+            def batch_body(state):
+                start, acc = state
+                gth = jax.jacfwd(batch_val)(theta0, start)
+                return start + cap, acc + gth
 
-            def run_full(_):
-                def val(theta):
-                    _, rad_t, _ = replay_fn(
-                        scene_of(theta), ro, rd, k, max_depth, rad, g,
-                        accumulate=False,
-                    )
-                    return jnp.vdot(g, rad_t)
-
-                return jax.jacfwd(val)(theta0)
-
-            gtheta = jax.lax.cond(count <= cap, run_subset, run_full, None)
+            _, gtheta = jax.lax.while_loop(
+                lambda s: s[0] < count, batch_body,
+                (jnp.int32(0), jnp.zeros_like(theta0)),
+            )
             gfuzz = gfuzz.at[fuzz_rows_j].set(gtheta[:n_f])
             gir = gir.at[ir_rows_j].set(gtheta[n_f:])
 
