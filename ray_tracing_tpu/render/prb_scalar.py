@@ -125,6 +125,8 @@ def prb_radiance_all(
     compaction: bool = True,
     static_scene: SceneData | None = None,
     scalar_rows: tuple | None = None,
+    tangent_cap: int | None = None,
+    tangent_chunk_div: int | None = None,
 ):
     """Per-ray radiance, differentiable w.r.t. the full parameter set.
 
@@ -211,11 +213,16 @@ def prb_radiance_all(
         theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
         if n_scalars:
             n = ro.shape[0]
-            # static batch size: n/8 (measured best at 1024² — n/16's
-            # smaller compaction chunks regressed ~100 ms/pass), at
-            # least 256 rays, never more than n, and a multiple of 8 so
-            # the subset replay's chunk division is exact
-            cap = min(n, max(256, n // 8))
+            # static batch size: n/8 with the replay's default chunk
+            # division (production interleave at 1024²: 147 ms marginal
+            # vs 174-210 for smaller caps / chunk_div=1 — an ISOLATED
+            # pass-2 microbench said the opposite, n/32+div1 at 9.5 vs
+            # 11.3 ms/tile; fusion context flips it, trust only the
+            # production interleave), at least 256 rays, never more
+            # than n, and a multiple of 8 so the replay's chunk
+            # division is exact
+            cap = tangent_cap if tangent_cap else max(256, n // 8)
+            cap = min(n, cap)
             cap -= cap % 8
             if cap <= 0:
                 cap = n
@@ -239,10 +246,16 @@ def prb_radiance_all(
                 # rows at/after the touched count are fill, stay dead
                 alive_s = (start + jnp.arange(cap, dtype=jnp.int32)) < count
 
+                # default chunk division (the dense replay has none)
+                kw = (
+                    {"chunk_div": tangent_chunk_div}
+                    if compaction and tangent_chunk_div
+                    else {}
+                )
                 _, rad_t, _ = replay_fn(
                     scene_of(theta), ro_s, rd_s, k, max_depth,
                     rad_s, g_s, alive0=alive_s, ids0=sub,
-                    accumulate=False,
+                    accumulate=False, **kw,
                 )
                 return jnp.vdot(g_s, rad_t)
 
