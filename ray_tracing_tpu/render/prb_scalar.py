@@ -114,6 +114,137 @@ def _active_rows(scene: SceneData):
     )
 
 
+def _resolve_scalar_rows(scene, static_scene, scalar_rows):
+    """Concrete (fuzz_rows, ir_rows) as int32 NUMPY arrays (jnp.asarray
+    with a dtype cast runs a traced convert_element_type, so calling
+    this inside a lax.map / shard_map body would bake that trace's
+    tracer into a later-traced closure; numpy indices are always
+    concrete)."""
+    if scalar_rows is not None:
+        fuzz_rows, ir_rows = scalar_rows
+    else:
+        fuzz_rows, ir_rows = _active_rows(
+            scene if static_scene is None else static_scene
+        )
+    return np.asarray(fuzz_rows, np.int32), np.asarray(ir_rows, np.int32)
+
+
+def _prb_backward(
+    p: AllParams,
+    sc: SceneData,
+    ro, rd, key, max_depth, rad, g,
+    *,
+    compaction, fuzz_rows_j, ir_rows_j,
+    tangent_cap=None, tangent_chunk_div=None,
+) -> AllParams:
+    """The full-parameter PRB backward: one accumulating color replay
+    (pass 1) + the batched scalar tangent pass (pass 2).  Shared by the
+    custom_vjp surface (prb_radiance_all) and the direct
+    value-and-grad entry point (prb_loss_and_grad_all); ``rad`` is the
+    forward radiance and ``g`` the per-ray loss cotangent."""
+    replay_fn = prb_grad_compacted if compaction else prb_grad_dense
+    n_f, n_i = len(fuzz_rows_j), len(ir_rows_j)
+    n_scalars = n_f + n_i
+
+    # Pass 1 — primal replay over all rays: the PRB prefix sums
+    # produce every color-linear gradient, and the bounce loop also
+    # reports which rays' paths reach a metal / dielectric at all.
+    gacc, rad_replay, touched = replay_fn(
+        _with_all(sc, p), ro, rd, key, max_depth, rad, g
+    )
+    gcol, gimg, gmet = gacc
+
+    # Pass 2 — scalar tangents on the touched subset only.  A path
+    # that never hits a metal/dielectric has EXACTLY zero fuzz/IR
+    # derivative (zy: only ~2% of rays do), and uniforms are keyed
+    # by (ray id, bounce), so a GATHERED subset replays its paths
+    # bit-exactly.  The touched rays are sorted to the front and
+    # the tangent replay runs on STATIC cap-ray batches inside a
+    # while_loop: normally ONE iteration (zy: ~3k touched of 131k),
+    # ZERO when nothing is touched, and extra exact batches if the
+    # touched count ever exceeds the cap — no lax.cond fallback to
+    # a full-width replay (the cond alone cost ~15 ms/tile at
+    # 1024²: its giant dead branch blocked fusion around pass 2).
+    gfuzz = jnp.zeros_like(p.fuzz)
+    gir = jnp.zeros_like(p.ir)
+    theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
+    if n_scalars:
+        n = ro.shape[0]
+        # static batch size: n/8 with the replay's default chunk
+        # division (production interleave at 1024²: 147 ms marginal
+        # vs 174-210 for smaller caps / chunk_div=1 — an ISOLATED
+        # pass-2 microbench said the opposite, n/32+div1 at 9.5 vs
+        # 11.3 ms/tile; fusion context flips it, trust only the
+        # production interleave), at least 256 rays, never more
+        # than n, and a multiple of 8 so the replay's chunk
+        # division is exact
+        cap = tangent_cap if tangent_cap else max(256, n // 8)
+        cap = min(n, cap)
+        cap -= cap % 8
+        if cap <= 0:
+            cap = n
+
+        def scene_of(theta):
+            fuzz = p.fuzz.at[fuzz_rows_j].set(theta[:n_f])
+            ir = p.ir.at[ir_rows_j].set(theta[n_f:])
+            return _with_all(sc, p._replace(fuzz=fuzz, ir=ir))
+
+        count = jnp.sum(touched.astype(jnp.int32))
+        # compact touched rays to the front.  argsort + prefix-
+        # gather beats jnp.nonzero(size=cap) here: the nonzero
+        # lowering scatters and measured ~100 ms/pass slower at
+        # 1024².
+        order = jnp.argsort(~touched, stable=True)
+
+        def batch_val(theta, start):
+            sub = jax.lax.dynamic_slice_in_dim(order, start, cap)
+            ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
+            rad_s = rad[sub]
+            # rows at/after the touched count are fill, stay dead
+            alive_s = (start + jnp.arange(cap, dtype=jnp.int32)) < count
+
+            # default chunk division (the dense replay has none)
+            kw = (
+                {"chunk_div": tangent_chunk_div}
+                if compaction and tangent_chunk_div
+                else {}
+            )
+            _, rad_t, _ = replay_fn(
+                scene_of(theta), ro_s, rd_s, key, max_depth,
+                rad_s, g_s, alive0=alive_s, ids0=sub,
+                accumulate=False, **kw,
+            )
+            return jnp.vdot(g_s, rad_t)
+
+        def batch_body(state):
+            start, acc = state
+            gth = jax.jacfwd(batch_val)(theta0, start)
+            return start + cap, acc + gth
+
+        _, gtheta = jax.lax.while_loop(
+            lambda s: s[0] < count, batch_body,
+            (jnp.int32(0), jnp.zeros_like(theta0)),
+        )
+        gfuzz = gfuzz.at[fuzz_rows_j].set(gtheta[:n_f])
+        gir = gir.at[ir_rows_j].set(gtheta[n_f:])
+
+    from ray_tracing_tpu.ops.pallas_scatter import from_planar
+
+    if p.images.size:
+        gimg_out = from_planar(
+            gimg, int(np.prod(p.images.shape[:3]))
+        ).reshape(p.images.shape)
+    else:
+        gimg_out = jnp.zeros_like(p.images)
+    return AllParams(
+        color=gcol,
+        images=gimg_out,
+        metal_albedo=gmet,
+        fuzz=gfuzz,
+        ir=gir,
+    )
+
+
 def prb_radiance_all(
     params: AllParams,
     scene: SceneData,
@@ -144,21 +275,11 @@ def prb_radiance_all(
     entirely — what :func:`~ray_tracing_tpu.render.prb.prb_radiance_full`
     does for the color-linear-only surface).
     """
-    if scalar_rows is not None:
-        fuzz_rows, ir_rows = scalar_rows
-    else:
-        fuzz_rows, ir_rows = _active_rows(
-            scene if static_scene is None else static_scene
-        )
-    n_f, n_i = len(fuzz_rows), len(ir_rows)
-    n_scalars = n_f + n_i
-    # keep the row indices as NUMPY: jnp.asarray with a dtype cast runs a
-    # traced convert_element_type, so calling this inside a lax.map /
-    # shard_map body would bake that trace's tracer into bwd's closure —
-    # bwd is traced later (scan transpose) and the tracer would leak as
-    # an un-lowerable jaxpr constant.  numpy indices are always concrete.
-    fuzz_rows_j = np.asarray(fuzz_rows, np.int32)
-    ir_rows_j = np.asarray(ir_rows, np.int32)
+    # concrete numpy row indices: bwd is traced later (scan transpose)
+    # and a traced cast here would leak a tracer into its closure
+    fuzz_rows_j, ir_rows_j = _resolve_scalar_rows(
+        scene, static_scene, scalar_rows
+    )
 
     # keys ride through the custom_vjp as raw key_data (an extended
     # dtype can't take a float0 cotangent); the impl is a static python
@@ -187,106 +308,14 @@ def prb_radiance_all(
     def bwd(res, g):
         p, sc, ro, rd, keydata, rad = res
         k = jax.random.wrap_key_data(keydata, impl=key_impl)
-        replay_fn = prb_grad_compacted if compaction else prb_grad_dense
-
-        # Pass 1 — primal replay over all rays: the PRB prefix sums
-        # produce every color-linear gradient, and the bounce loop also
-        # reports which rays' paths reach a metal / dielectric at all.
-        gacc, rad_replay, touched = replay_fn(
-            _with_all(sc, p), ro, rd, k, max_depth, rad, g
+        gparams = _prb_backward(
+            p, sc, ro, rd, k, max_depth, rad, g,
+            compaction=compaction, fuzz_rows_j=fuzz_rows_j,
+            ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
+            tangent_chunk_div=tangent_chunk_div,
         )
-        gcol, gimg, gmet = gacc
-
-        # Pass 2 — scalar tangents on the touched subset only.  A path
-        # that never hits a metal/dielectric has EXACTLY zero fuzz/IR
-        # derivative (zy: only ~2% of rays do), and uniforms are keyed
-        # by (ray id, bounce), so a GATHERED subset replays its paths
-        # bit-exactly.  The touched rays are sorted to the front and
-        # the tangent replay runs on STATIC cap-ray batches inside a
-        # while_loop: normally ONE iteration (zy: ~3k touched of 131k),
-        # ZERO when nothing is touched, and extra exact batches if the
-        # touched count ever exceeds the cap — no lax.cond fallback to
-        # a full-width replay (the cond alone cost ~15 ms/tile at
-        # 1024²: its giant dead branch blocked fusion around pass 2).
-        gfuzz = jnp.zeros_like(p.fuzz)
-        gir = jnp.zeros_like(p.ir)
-        theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
-        if n_scalars:
-            n = ro.shape[0]
-            # static batch size: n/8 with the replay's default chunk
-            # division (production interleave at 1024²: 147 ms marginal
-            # vs 174-210 for smaller caps / chunk_div=1 — an ISOLATED
-            # pass-2 microbench said the opposite, n/32+div1 at 9.5 vs
-            # 11.3 ms/tile; fusion context flips it, trust only the
-            # production interleave), at least 256 rays, never more
-            # than n, and a multiple of 8 so the replay's chunk
-            # division is exact
-            cap = tangent_cap if tangent_cap else max(256, n // 8)
-            cap = min(n, cap)
-            cap -= cap % 8
-            if cap <= 0:
-                cap = n
-
-            def scene_of(theta):
-                fuzz = p.fuzz.at[fuzz_rows_j].set(theta[:n_f])
-                ir = p.ir.at[ir_rows_j].set(theta[n_f:])
-                return _with_all(sc, p._replace(fuzz=fuzz, ir=ir))
-
-            count = jnp.sum(touched.astype(jnp.int32))
-            # compact touched rays to the front.  argsort + prefix-
-            # gather beats jnp.nonzero(size=cap) here: the nonzero
-            # lowering scatters and measured ~100 ms/pass slower at
-            # 1024².
-            order = jnp.argsort(~touched, stable=True)
-
-            def batch_val(theta, start):
-                sub = jax.lax.dynamic_slice_in_dim(order, start, cap)
-                ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
-                rad_s = rad[sub]
-                # rows at/after the touched count are fill, stay dead
-                alive_s = (start + jnp.arange(cap, dtype=jnp.int32)) < count
-
-                # default chunk division (the dense replay has none)
-                kw = (
-                    {"chunk_div": tangent_chunk_div}
-                    if compaction and tangent_chunk_div
-                    else {}
-                )
-                _, rad_t, _ = replay_fn(
-                    scene_of(theta), ro_s, rd_s, k, max_depth,
-                    rad_s, g_s, alive0=alive_s, ids0=sub,
-                    accumulate=False, **kw,
-                )
-                return jnp.vdot(g_s, rad_t)
-
-            def batch_body(state):
-                start, acc = state
-                gth = jax.jacfwd(batch_val)(theta0, start)
-                return start + cap, acc + gth
-
-            _, gtheta = jax.lax.while_loop(
-                lambda s: s[0] < count, batch_body,
-                (jnp.int32(0), jnp.zeros_like(theta0)),
-            )
-            gfuzz = gfuzz.at[fuzz_rows_j].set(gtheta[:n_f])
-            gir = gir.at[ir_rows_j].set(gtheta[n_f:])
-
-        from ray_tracing_tpu.ops.pallas_scatter import from_planar
-
-        if p.images.size:
-            gimg_out = from_planar(
-                gimg, int(np.prod(p.images.shape[:3]))
-            ).reshape(p.images.shape)
-        else:
-            gimg_out = jnp.zeros_like(p.images)
         return (
-            AllParams(
-                color=gcol,
-                images=gimg_out,
-                metal_albedo=gmet,
-                fuzz=gfuzz,
-                ir=gir,
-            ),
+            gparams,
             zero_cotangent(sc),
             jnp.zeros_like(ro),
             jnp.zeros_like(rd),
@@ -297,6 +326,58 @@ def prb_radiance_all(
 
     inner.defvjp(fwd, bwd)
     return inner(params, scene, ro, rd, jax.random.key_data(key))
+
+
+def prb_loss_and_grad_all(
+    loss_fn,
+    params: AllParams,
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    *,
+    compaction: bool = True,
+    static_scene: SceneData | None = None,
+    scalar_rows: tuple | None = None,
+    tangent_cap: int | None = None,
+    tangent_chunk_div: int | None = None,
+):
+    """Loss value + full-parameter gradient with NO AD graph over the
+    renderer — the fast path for fits whose loss is a cheap function of
+    the per-ray radiance (L2 to a target image, mean brightness, ...).
+
+    ``loss_fn(rad) -> scalar array`` is differentiated on its own (one
+    tiny vjp over the (N, 3) radiance); the renderer gradient is then
+    the PRB backward invoked directly: forward trace, analytic per-ray
+    cotangent, one accumulating color replay, the batched scalar
+    tangent pass.  Numerically identical to
+    ``jax.value_and_grad(lambda p: loss_fn(prb_radiance_all(p, ...)))``
+    (tests assert equality) but skips the custom_vjp residual plumbing
+    and the enclosing map/scan transpose — measured 76 ms/pass faster
+    at 1024² on TPU for the color-parameter set (512 vs 588 ms).
+
+    Returns ``(loss, grads: AllParams)``.  Composes with lax.map /
+    shard_map over ray tiles exactly like prb_radiance_all; for a
+    decomposable loss the per-tile losses and grads simply sum.
+    """
+    fuzz_rows_j, ir_rows_j = _resolve_scalar_rows(
+        scene, static_scene, scalar_rows
+    )
+    s = _with_all(scene, params)
+    if compaction:
+        rad = trace_compacted(s, ro, rd, key, max_depth)
+    else:
+        rad = trace(s, ro, rd, key, max_depth)
+    loss, pull = jax.vjp(loss_fn, rad)
+    (g,) = pull(jnp.ones_like(loss))
+    gparams = _prb_backward(
+        params, scene, ro, rd, key, max_depth, rad, g,
+        compaction=compaction, fuzz_rows_j=fuzz_rows_j,
+        ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
+        tangent_chunk_div=tangent_chunk_div,
+    )
+    return loss, gparams
 
 
 def scalar_radiance(

@@ -288,3 +288,38 @@ def test_all_params_grad_through_lax_map_tiles():
         )
     assert np.abs(np.asarray(g1.fuzz)).sum() > 1e-4
     assert np.abs(np.asarray(g1.ir)).sum() > 1e-4
+
+
+def test_direct_loss_and_grad_matches_ad_surface():
+    """prb_loss_and_grad_all (no AD graph over the renderer) must equal
+    jax.value_and_grad of loss_fn∘prb_radiance_all — same forward, same
+    replay, same tangent batches, minus the custom_vjp plumbing (the
+    76 ms/pass fast path, round-4 item)."""
+    from ray_tracing_tpu.render.prb_scalar import prb_loss_and_grad_all
+
+    scene = _cornell()
+    ro, rd = _rays(1024, seed=3)
+    key = jax.random.key(11)
+    params = params_of(scene)
+    rng = np.random.RandomState(4)
+    w = jnp.asarray(rng.uniform(0, 1, (ro.shape[0], 3)), jnp.float32)
+
+    def loss_fn(rad):
+        # non-uniform cotangent exercises the g plumbing end to end
+        return jnp.sum(w * rad) + jnp.sum(rad**2) / rad.size
+
+    def loss_ad(p):
+        return loss_fn(prb_radiance_all(p, scene, ro, rd, key, 6))
+
+    l_ad, g_ad = jax.jit(jax.value_and_grad(loss_ad))(params)
+    l_dir, g_dir = jax.jit(
+        lambda p: prb_loss_and_grad_all(loss_fn, p, scene, ro, rd, key, 6)
+    )(params)
+
+    np.testing.assert_allclose(float(l_dir), float(l_ad), rtol=1e-6)
+    for name, a, b in zip(AllParams._fields, g_ad, g_dir):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-8, err_msg=name
+        )
+    assert np.abs(np.asarray(g_dir.fuzz)).sum() > 1e-6
+    assert np.abs(np.asarray(g_dir.ir)).sum() > 1e-6
