@@ -129,42 +129,30 @@ def _resolve_scalar_rows(scene, static_scene, scalar_rows):
     return np.asarray(fuzz_rows, np.int32), np.asarray(ir_rows, np.int32)
 
 
-def _prb_backward(
+def _scalar_tangent_pass(
     p: AllParams,
     sc: SceneData,
-    ro, rd, key, max_depth, rad, g,
+    ro, rd, key, max_depth, rad, g, touched,
     *,
     compaction, fuzz_rows_j, ir_rows_j,
     tangent_cap=None, tangent_chunk_div=None,
-) -> AllParams:
-    """The full-parameter PRB backward: one accumulating color replay
-    (pass 1) + the batched scalar tangent pass (pass 2).  Shared by the
-    custom_vjp surface (prb_radiance_all) and the direct
-    value-and-grad entry point (prb_loss_and_grad_all); ``rad`` is the
-    forward radiance and ``g`` the per-ray loss cotangent."""
+):
+    """Pass 2 — scalar tangents on the touched subset only.  A path
+    that never hits a metal/dielectric has EXACTLY zero fuzz/IR
+    derivative (zy: only ~2% of rays do), and uniforms are keyed
+    by (ray id, bounce), so a GATHERED subset replays its paths
+    bit-exactly.  The touched rays are sorted to the front and
+    the tangent replay runs on STATIC cap-ray batches inside a
+    while_loop: normally ONE iteration (zy: ~3k touched of 131k),
+    ZERO when nothing is touched, and extra exact batches if the
+    touched count ever exceeds the cap — no lax.cond fallback to
+    a full-width replay (the cond alone cost ~15 ms/tile at
+    1024²: its giant dead branch blocked fusion around pass 2).
+
+    Returns (gfuzz (M,), gir (M,))."""
     replay_fn = prb_grad_compacted if compaction else prb_grad_dense
     n_f, n_i = len(fuzz_rows_j), len(ir_rows_j)
     n_scalars = n_f + n_i
-
-    # Pass 1 — primal replay over all rays: the PRB prefix sums
-    # produce every color-linear gradient, and the bounce loop also
-    # reports which rays' paths reach a metal / dielectric at all.
-    gacc, rad_replay, touched = replay_fn(
-        _with_all(sc, p), ro, rd, key, max_depth, rad, g
-    )
-    gcol, gimg, gmet = gacc
-
-    # Pass 2 — scalar tangents on the touched subset only.  A path
-    # that never hits a metal/dielectric has EXACTLY zero fuzz/IR
-    # derivative (zy: only ~2% of rays do), and uniforms are keyed
-    # by (ray id, bounce), so a GATHERED subset replays its paths
-    # bit-exactly.  The touched rays are sorted to the front and
-    # the tangent replay runs on STATIC cap-ray batches inside a
-    # while_loop: normally ONE iteration (zy: ~3k touched of 131k),
-    # ZERO when nothing is touched, and extra exact batches if the
-    # touched count ever exceeds the cap — no lax.cond fallback to
-    # a full-width replay (the cond alone cost ~15 ms/tile at
-    # 1024²: its giant dead branch blocked fusion around pass 2).
     gfuzz = jnp.zeros_like(p.fuzz)
     gir = jnp.zeros_like(p.ir)
     theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
@@ -227,9 +215,14 @@ def _prb_backward(
         )
         gfuzz = gfuzz.at[fuzz_rows_j].set(gtheta[:n_f])
         gir = gir.at[ir_rows_j].set(gtheta[n_f:])
+    return gfuzz, gir
 
+
+def _assemble_grads(p: AllParams, gacc, gfuzz, gir) -> AllParams:
+    """(gcol, gimg_planar, gmet) + scalars -> AllParams cotangent."""
     from ray_tracing_tpu.ops.pallas_scatter import from_planar
 
+    gcol, gimg, gmet = gacc
     if p.images.size:
         gimg_out = from_planar(
             gimg, int(np.prod(p.images.shape[:3]))
@@ -243,6 +236,36 @@ def _prb_backward(
         fuzz=gfuzz,
         ir=gir,
     )
+
+
+def _prb_backward(
+    p: AllParams,
+    sc: SceneData,
+    ro, rd, key, max_depth, rad, g,
+    *,
+    compaction, fuzz_rows_j, ir_rows_j,
+    tangent_cap=None, tangent_chunk_div=None,
+) -> AllParams:
+    """The full-parameter PRB backward: one accumulating color replay
+    (pass 1) + the batched scalar tangent pass (pass 2).  Shared by the
+    custom_vjp surface (prb_radiance_all) and the direct
+    value-and-grad entry point (prb_loss_and_grad_all); ``rad`` is the
+    forward radiance and ``g`` the per-ray loss cotangent."""
+    replay_fn = prb_grad_compacted if compaction else prb_grad_dense
+
+    # Pass 1 — primal replay over all rays: the PRB prefix sums
+    # produce every color-linear gradient, and the bounce loop also
+    # reports which rays' paths reach a metal / dielectric at all.
+    gacc, rad_replay, touched = replay_fn(
+        _with_all(sc, p), ro, rd, key, max_depth, rad, g
+    )
+    gfuzz, gir = _scalar_tangent_pass(
+        p, sc, ro, rd, key, max_depth, rad, g, touched,
+        compaction=compaction, fuzz_rows_j=fuzz_rows_j,
+        ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
+        tangent_chunk_div=tangent_chunk_div,
+    )
+    return _assemble_grads(p, gacc, gfuzz, gir)
 
 
 def prb_radiance_all(
@@ -342,20 +365,25 @@ def prb_loss_and_grad_all(
     scalar_rows: tuple | None = None,
     tangent_cap: int | None = None,
     tangent_chunk_div: int | None = None,
+    use_tape: bool = True,
 ):
     """Loss value + full-parameter gradient with NO AD graph over the
     renderer — the fast path for fits whose loss is a cheap function of
     the per-ray radiance (L2 to a target image, mean brightness, ...).
 
     ``loss_fn(rad) -> scalar array`` is differentiated on its own (one
-    tiny vjp over the (N, 3) radiance); the renderer gradient is then
-    the PRB backward invoked directly: forward trace, analytic per-ray
-    cotangent, one accumulating color replay, the batched scalar
-    tangent pass.  Numerically identical to
+    tiny vjp over the (N, 3) radiance); the renderer gradient is the
+    PRB backward invoked directly.  With ``use_tape`` (default, the
+    compacted path), the forward itself writes the PRB tape and the
+    color gradients come from a traversal-free sweep
+    (render/prb_tape.py) — fwd + colors-bwd costs ONE traversal total.
+    Otherwise (or with ``compaction=False``) the backward re-traces
+    via the path replay.  Either way the result is numerically
+    identical to
     ``jax.value_and_grad(lambda p: loss_fn(prb_radiance_all(p, ...)))``
-    (tests assert equality) but skips the custom_vjp residual plumbing
-    and the enclosing map/scan transpose — measured 76 ms/pass faster
-    at 1024² on TPU for the color-parameter set (512 vs 588 ms).
+    (tests assert equality) minus the custom_vjp residual plumbing and
+    the enclosing map/scan transpose (those alone measured 76 ms/pass
+    at 1024² on TPU).
 
     Returns ``(loss, grads: AllParams)``.  Composes with lax.map /
     shard_map over ray tiles exactly like prb_radiance_all; for a
@@ -365,6 +393,20 @@ def prb_loss_and_grad_all(
         scene, static_scene, scalar_rows
     )
     s = _with_all(scene, params)
+    if compaction and use_tape:
+        from ray_tracing_tpu.render.prb_tape import tape_sweep, trace_taped
+
+        rad, touched, tape = trace_taped(s, ro, rd, key, max_depth)
+        loss, pull = jax.vjp(loss_fn, rad)
+        (g,) = pull(jnp.ones_like(loss))
+        gacc = tape_sweep(s, tape, rad, g, max_depth)
+        gfuzz, gir = _scalar_tangent_pass(
+            params, scene, ro, rd, key, max_depth, rad, g, touched,
+            compaction=True, fuzz_rows_j=fuzz_rows_j,
+            ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
+            tangent_chunk_div=tangent_chunk_div,
+        )
+        return loss, _assemble_grads(params, gacc, gfuzz, gir)
     if compaction:
         rad = trace_compacted(s, ro, rd, key, max_depth)
     else:
