@@ -131,3 +131,44 @@ def test_train_step_reduces_loss():
     # the fitted albedo moved toward the target color
     c = np.asarray(scene.textures.color[0])
     assert abs(c[0] - c[1]) < 0.45  # started at (0.2, 0.8): gap shrinks
+
+
+def test_direct_taped_train_step_matches_ad_step():
+    """make_prb_train_step_all_direct (taped single-traversal backward,
+    explicit psum) must produce the same update as the AD-surface step
+    on the same key — the multi-chip face of the round-4 tape path.
+    Width 15x15 also exercises the ray-axis padding mask (225 rays pad
+    to 232 over 8 devices)."""
+    from ray_tracing_tpu.parallel.mesh import make_prb_train_step_all_direct
+    from ray_tracing_tpu.render.prb_scalar import params_of
+
+    b = SceneBuilder(background=(0.3, 0.3, 0.3))
+    green = b.add_lambertian(b.add_texture_solid((0.2, 0.8, 0.2)))
+    metal = b.add_metal((0.9, 0.8, 0.7), 0.2)
+    glass = b.add_dielectric(1.5)
+    light = b.add_diffuse_light(b.add_texture_solid((3.0, 3.0, 3.0)))
+    b.add_rect("xy", -5, 5, -5, 5, -3.0, green, positive=True)
+    b.add_sphere((-0.7, 0.0, -1.8), 0.5, metal)
+    b.add_sphere((0.7, 0.0, -1.8), 0.5, glass)
+    b.add_rect("zx", -1, 1, -3, -1, 3.0, light, positive=False,
+               important=True)
+    scene = b.build()
+    cam = Camera.build(CameraParam((0, 0, 1), (0, 0, -1), 90), 1.0)
+    mesh = make_mesh()
+    w = h = 15
+    target = jnp.full((h, w, 3), 0.5, jnp.float32)
+    params = params_of(scene)
+
+    step_ad = make_prb_train_step_all(
+        cam, scene, width=w, height=h, max_depth=4, mesh=mesh, lr=0.3,
+    )
+    step_dir = make_prb_train_step_all_direct(
+        cam, scene, width=w, height=h, max_depth=4, mesh=mesh, lr=0.3,
+    )
+    p_ad, l_ad = step_ad(params, scene, jax.random.key(5), target)
+    p_dir, l_dir = step_dir(params, scene, jax.random.key(5), target)
+    np.testing.assert_allclose(float(l_dir), float(l_ad), rtol=1e-6)
+    for a, b2 in zip(jax.tree.leaves(p_ad), jax.tree.leaves(p_dir)):
+        np.testing.assert_allclose(
+            np.asarray(b2), np.asarray(a), rtol=1e-4, atol=1e-7
+        )
