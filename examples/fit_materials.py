@@ -111,12 +111,21 @@ def main():
 
     @jax.jit
     def step(params, opt_state, which):
-        def loss_fn(p):
-            img = render(p, jax.lax.switch(
-                which, [lambda k=k: k for k in target_keys]))
-            return jnp.mean((img - targets[which]) ** 2)
+        # direct taped value-and-grad: the L2 loss is a cheap function
+        # of the radiance, so the renderer needs no AD graph at all
+        # (render/prb_scalar.prb_loss_and_grad_all — one traversal for
+        # forward + color gradients, tangent batches for fuzz/IR)
+        from ray_tracing_tpu.render.prb_scalar import prb_loss_and_grad_all
 
-        loss, g = jax.value_and_grad(loss_fn)(params)
+        k = jax.lax.switch(which, [lambda k=k: k for k in target_keys])
+        ro, rd, _, k_trace = camera_rays(camera, k, w, h, True)
+
+        def loss_fn(rad):
+            return jnp.mean((rad.reshape(h, w, 3) - targets[which]) ** 2)
+
+        loss, g = prb_loss_and_grad_all(
+            loss_fn, params, scene, ro, rd, k_trace, args.depth
+        )
         g = g._replace(color=g.color * color_mask)
         upd, opt_state = opt.update(g, opt_state)
         p = optax.apply_updates(params, upd)
