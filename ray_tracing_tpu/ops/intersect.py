@@ -436,11 +436,15 @@ def intersect_scene(
                 )
 
                 # the kernel hardcodes the (EPSILON, INF) window.  It
-                # serves BOTH strategies: its per-chunk AABB cull over
-                # Morton-ordered triangles is the two-level cluster
-                # sweep's structure, kept in VMEM/SMEM.
+                # serves the SWEEP strategy only: for cluster-scale
+                # meshes its fixed SMEM streaming + block-level cull
+                # degenerate to O(rays x tris) — measured 8.6 s/pass vs
+                # 2.1 for the XLA cluster sweep on a 79k-tri bunny grid
+                # at 512^2 (round 4); the XLA path culls per 4096-ray
+                # tile with a shrinking window and wins there.
                 use_tri_pallas = (
-                    pallas_triangles_eligible(scene)
+                    strategy == "sweep"
+                    and pallas_triangles_eligible(scene)
                     and t_min == geo.EPSILON
                     and t_max == INF
                     and jax.default_backend() in ("tpu", "axon")
