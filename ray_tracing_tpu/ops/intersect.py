@@ -431,25 +431,28 @@ def intersect_scene(
             use_tri_pallas = False
             if os.environ.get("RAY_TPU_NO_PALLAS") != "1":
                 from ray_tracing_tpu.ops.pallas_triangles import (
+                    pallas_cluster_sweep,
                     pallas_triangle_sweep,
                     pallas_triangles_eligible,
                 )
 
-                # the kernel hardcodes the (EPSILON, INF) window.  It
-                # serves the SWEEP strategy only: for cluster-scale
-                # meshes its fixed SMEM streaming + block-level cull
-                # degenerate to O(rays x tris) — measured 8.6 s/pass vs
-                # 2.1 for the XLA cluster sweep on a 79k-tri bunny grid
-                # at 512^2 (round 4); the XLA path culls per 4096-ray
-                # tile with a shrinking window and wins there.
+                # both kernels hardcode the (EPSILON, INF) window.
+                # "sweep" (<= SWEEP_MAX_TRIS) gets the fixed-grid SMEM
+                # streamer; "cluster" gets the demand-fetched two-level
+                # kernel — the fixed streamer degenerates to
+                # O(rays x tris) at cluster scale (measured 8.6 s/pass
+                # vs 2.1 for the XLA cluster sweep on a 79k-tri bunny
+                # grid at 512^2 before the DMA kernel existed).
                 use_tri_pallas = (
-                    strategy == "sweep"
-                    and pallas_triangles_eligible(scene)
+                    pallas_triangles_eligible(scene)
                     and t_min == geo.EPSILON
                     and t_max == INF
                     and jax.default_backend() in ("tpu", "axon")
                 )
-            if use_tri_pallas:
+            if use_tri_pallas and strategy == "cluster":
+                tt, ti, tm = pallas_cluster_sweep(scene, ro, rd)
+                consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
+            elif use_tri_pallas:
                 tt, ti, tm = pallas_triangle_sweep(scene, ro, rd)
                 consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
             elif strategy == "sweep":

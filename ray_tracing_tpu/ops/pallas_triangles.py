@@ -26,6 +26,7 @@ flow through Phase B's record rebuild.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -222,3 +223,180 @@ def pallas_triangles_eligible(scene) -> bool:
     """Kernel needs the sweep constants; the SMEM-streamed table grows
     with T, so cap at the sweep strategy's own limit."""
     return scene.n_triangles > 0 and scene.triangles.has_sweep
+
+
+# ---------------------------------------------------------------------------
+# Two-level cluster sweep with data-dependent DMA (large meshes)
+# ---------------------------------------------------------------------------
+#
+# The fixed-grid kernel above streams EVERY triangle chunk through SMEM
+# for every ray block — at 79k tris that degenerates to O(rays x tris)
+# and loses 4x to the XLA cluster sweep (whose own cost is the HBM
+# round-trips of its (N, C) candidate grids).  This kernel keeps the
+# triangle table in HBM and fetches a cluster's 64 KB of constants into
+# SMEM only when the block's windowed slab test says some ray can still
+# hit it — the per-ray best_t shrinks as clusters resolve, so later
+# clusters cull against an ever-tighter window, exactly like
+# geometry.triangle_cluster_sweep_t but with zero intermediate HBM
+# traffic and a scalar-side cull.
+
+CL_BLOCK_ROWS = 32
+# 4096 rays/block: tighter culls than 64 (matches the 4096-ray tile
+# coherence the renderer uses for BVH-scale scenes).  Override with
+# RAY_TPU_CL_BLOCK_ROWS (read at trace time) for A/B tuning.
+
+
+def _cluster_kernel(n_clusters, aabb_ref, tri_hbm,
+                    rox, roy, roz, rdx, rdy, rdz,
+                    t_out, idx_out, found_out,
+                    tri_smem, sem):
+    ro = (rox[:], roy[:], roz[:])  # origin-translated
+    rd = (rdx[:], rdy[:], rdz[:])
+    inv0 = 1.0 / rd[0]
+    inv1 = 1.0 / rd[1]
+    inv2 = 1.0 / rd[2]
+    # m = ro_s x rd, shared across all triangles
+    mx = ro[1] * rd[2] - ro[2] * rd[1]
+    my = ro[2] * rd[0] - ro[0] * rd[2]
+    mz = ro[0] * rd[1] - ro[1] * rd[0]
+
+    t_out[:] = jnp.full(t_out.shape, INF, jnp.float32)
+    idx_out[:] = jnp.zeros(idx_out.shape, jnp.int32)
+    found_out[:] = jnp.zeros(found_out.shape, jnp.int32)
+
+    def cluster(k, _):
+        # windowed slab cull of the whole block vs this cluster's AABB;
+        # the window is the CURRENT per-ray best_t, so clusters behind
+        # already-found hits cull away as the sweep progresses
+        window = t_out[:]
+        near = jnp.full(window.shape, EPSILON, jnp.float32)
+        far = window
+        for ax, inv in ((0, inv0), (1, inv1), (2, inv2)):
+            a = (aabb_ref[ax, k] - ro[ax]) * inv
+            b_ = (aabb_ref[3 + ax, k] - ro[ax]) * inv
+            near = jnp.maximum(near, jnp.minimum(a, b_))
+            far = jnp.minimum(far, jnp.maximum(a, b_))
+
+        @pl.when(jnp.any(near <= far))
+        def _():
+            # fetch this cluster's constants: HBM -> SMEM, on demand —
+            # a culled cluster costs neither DMA nor sweep
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(k * TRI_CHUNK, TRI_CHUNK)],
+                tri_smem, sem,
+            )
+            cp.start()
+            cp.wait()
+            base = k * TRI_CHUNK
+
+            def body(t, carry):
+                best_t, best_idx, found = carry
+                e12x, e12y, e12z = tri_smem[0, t], tri_smem[1, t], tri_smem[2, t]
+                e13x, e13y, e13z = tri_smem[3, t], tri_smem[4, t], tri_smem[5, t]
+                nx, ny, nz = tri_smem[6, t], tri_smem[7, t], tri_smem[8, t]
+                g1x, g1y, g1z = tri_smem[9, t], tri_smem[10, t], tri_smem[11, t]
+                g2x, g2y, g2z = tri_smem[12, t], tri_smem[13, t], tri_smem[14, t]
+                d0 = tri_smem[15, t]
+
+                det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
+                mask = jnp.abs(det) > 0.0
+                inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+                u = inv * (
+                    (mx * e13x + my * e13y + mz * e13z)
+                    - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
+                )
+                mask = mask & (u >= 0.0) & (u <= 1.0)
+                v = inv * (
+                    (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
+                    - (mx * e12x + my * e12y + mz * e12z)
+                )
+                mask = mask & (v >= 0.0) & (u + v <= 1.0)
+                tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
+                mask = mask & (tt >= EPSILON)
+
+                better = mask & (tt < best_t)
+                best_t = jnp.where(better, tt, best_t)
+                best_idx = jnp.where(better, base + t, best_idx)
+                found = jnp.where(better, 1, found)
+                return best_t, best_idx, found
+
+            best = jax.lax.fori_loop(
+                0, TRI_CHUNK, body, (t_out[:], idx_out[:], found_out[:])
+            )
+            t_out[:], idx_out[:], found_out[:] = best
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, cluster, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def _run_cluster(aabb, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret,
+                 block_rows=CL_BLOCK_ROWS):
+    rows = rox.shape[0]
+    n_clusters = tri.shape[1] // TRI_CHUNK
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+    aabb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (6, Kc)
+    shape_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    kernel = functools.partial(_cluster_kernel, n_clusters)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[aabb_spec, tri_spec, ray_spec, ray_spec, ray_spec,
+                  ray_spec, ray_spec, ray_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[shape_f, shape_i, shape_i],
+        scratch_shapes=[
+            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(aabb, tri, rox, roy, roz, rdx, rdy, rdz)
+
+
+def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
+                         block_rows: int | None = None):
+    """Per-ray nearest-triangle candidate via the demand-fetched
+    two-level cluster sweep — the large-mesh (> SWEEP_MAX_TRIS) path.
+
+    Same (t, idx, mask) contract and tie rule as pallas_triangle_sweep
+    / the XLA cluster sweep (strictly-smaller t wins -> lowest global
+    index on ties).  Selection-only: inputs are detached, gradients
+    flow through Phase B."""
+    tr = scene.triangles
+    sg = jax.lax.stop_gradient
+    ro = sg(ro) - sg(tr.sw_origin)[None, :]
+    rd = sg(rd)
+    tr_sg = jax.tree.map(sg, tr)
+    tri = pack_triangle_table(tr_sg)
+    aabb = pack_chunk_aabbs(tr_sg)
+
+    if block_rows is None:
+        block_rows = int(
+            os.environ.get("RAY_TPU_CL_BLOCK_ROWS", "") or CL_BLOCK_ROWS
+        )
+    n = ro.shape[0]
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)), constant_values=1e30)
+    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    rows = n_pad // LANES
+    comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
+    comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+
+    t, idx, found = _run_cluster(
+        aabb, tri, *comps, interpret=interpret, block_rows=block_rows
+    )
+    return (
+        t.reshape(-1)[:n],
+        idx.reshape(-1)[:n],
+        found.reshape(-1)[:n] != 0,
+    )

@@ -68,3 +68,52 @@ def test_compiled_on_tpu_matches_xla_sweep():
     np.testing.assert_array_equal(mx, mp)
     np.testing.assert_array_equal(ix[mx], ip[mp])
     np.testing.assert_allclose(tx[mx], tp[mp], rtol=1e-5)
+
+
+def _grid_scene(copies=4):
+    """Several offset bunnies: multiple spatially distinct clusters so
+    the demand-fetch cull actually skips some."""
+    b = SceneBuilder(background=(0.2, 0.2, 0.2))
+    white = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
+    pts, nrm, uvs = load_triangles("data/bunny.obj")
+    offs = [(-0.15, 0.0), (0.15, 0.0), (0.0, -0.15), (0.0, 0.15)][:copies]
+    allp = [pts + np.asarray([dx, 0.0, dz], np.float32) for dx, dz in offs]
+    b.add_mesh_triangles(
+        np.concatenate(allp), np.concatenate([nrm] * copies),
+        np.concatenate([uvs] * copies), white,
+    )
+    return b.build()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cluster_kernel_interpret_matches_xla(seed):
+    """Demand-fetched two-level kernel == the XLA winner (same global
+    indices, same tie rule), on a multi-bunny mesh whose clusters are
+    spatially separated."""
+    from ray_tracing_tpu.ops.pallas_triangles import pallas_cluster_sweep
+
+    scene = _grid_scene()
+    assert scene.triangles.has_clusters
+    ro, rd = _rays(512, seed)
+    tx, ix, mx = map(np.asarray, _xla_winner(scene, ro, rd))
+    tp, ip, mp = map(
+        np.asarray, pallas_cluster_sweep(scene, ro, rd, interpret=True)
+    )
+    np.testing.assert_array_equal(mx, mp)
+    np.testing.assert_array_equal(ix[mx], ip[mp])
+    np.testing.assert_allclose(tx[mx], tp[mp], rtol=1e-6)
+    assert mx.any()
+
+
+def test_cluster_kernel_compiled_on_tpu_matches_xla():
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU backend (compiled Mosaic path)")
+    from ray_tracing_tpu.ops.pallas_triangles import pallas_cluster_sweep
+
+    scene = _grid_scene()
+    ro, rd = _rays(4096, 2)
+    tx, ix, mx = map(np.asarray, _xla_winner(scene, ro, rd))
+    tp, ip, mp = map(np.asarray, pallas_cluster_sweep(scene, ro, rd))
+    np.testing.assert_array_equal(mx, mp)
+    np.testing.assert_array_equal(ix[mx], ip[mp])
+    np.testing.assert_allclose(tx[mx], tp[mp], rtol=1e-5)

@@ -83,6 +83,8 @@ def main() -> int:
         test_pallas_scatter.test_kernel_compiled_on_tpu_matches_direct)
     run("pallas_triangles_compiled",
         test_pallas_triangles.test_compiled_on_tpu_matches_xla_sweep)
+    run("pallas_cluster_compiled",
+        test_pallas_triangles.test_cluster_kernel_compiled_on_tpu_matches_xla)
 
     # 3. fused intersect kernel vs the XLA phase-A winner, same device
     def intersect_winner_check():
