@@ -220,10 +220,45 @@ class SceneBuilder:
                 "radius": float(radius),
                 "material": material,
                 "transform": slot,
+                "vel": np.zeros(3, np.float32),
             }
         )
         if important:
             self._lights.append((LIGHT_SPHERE, len(self._spheres) - 1, slot))
+
+    def add_sphere_moving(
+        self,
+        center0: Sequence[float],
+        center1: Sequence[float],
+        radius: float,
+        material: int,
+        *,
+        time0: float = 0.0,
+        time1: float = 1.0,
+    ) -> None:
+        """A linearly moving sphere: at ``center0`` at absolute shutter
+        time ``time0`` and ``center1`` at ``time1`` (the RTNW moving
+        sphere — a SUPERSET feature: the reference's camera jitters ray
+        time, reference camera.rs:113-129, but nothing consumes it).
+        Each primary ray samples one shutter time from the camera's
+        [time0, time1] window and the whole path sees the sphere at
+        that instant.  Not combinable with transforms or ``important``
+        light sampling."""
+        c0 = np.asarray(center0, np.float32)
+        c1 = np.asarray(center1, np.float32)
+        if float(time1) == float(time0):
+            raise ValueError("moving sphere needs time1 != time0")
+        vel = (c1 - c0) / np.float32(time1 - time0)
+        base = c0 - vel * np.float32(time0)  # position at absolute t=0
+        self._spheres.append(
+            {
+                "center": base,
+                "radius": float(radius),
+                "material": material,
+                "transform": 0,
+                "vel": vel,
+            }
+        )
 
     def add_medium(
         self,
@@ -478,6 +513,15 @@ class SceneBuilder:
 
         # spheres
         ns = len(self._spheres)
+        has_motion = any(
+            np.any(s.get("vel", 0) != 0) for s in self._spheres
+        )
+        if has_motion and any(s["transform"] for s in self._spheres):
+            raise NotImplementedError(
+                "moving spheres cannot share a sphere table with "
+                "transformed spheres (motion is world-space; add the "
+                "transformed shape as a separate static sphere)"
+            )
         spheres = SphereTable(
             center=jnp.asarray(
                 np.stack([s["center"] for s in self._spheres])
@@ -488,6 +532,14 @@ class SceneBuilder:
             material=jnp.asarray(np.asarray([s["material"] for s in self._spheres], i32)),
             transform=jnp.asarray(np.asarray([s["transform"] for s in self._spheres], i32)),
             has_transforms=any(s["transform"] for s in self._spheres),
+            vel=jnp.asarray(
+                np.stack(
+                    [s.get("vel", np.zeros(3, f32)) for s in self._spheres]
+                )
+                if ns
+                else np.zeros((0, 3), f32)
+            ),
+            has_motion=has_motion,
         )
 
         n_med = len(self._media)
@@ -787,6 +839,22 @@ class _JsonVisitor:
             self.b.add_sphere(
                 d["center"], d["radius"], material,
                 important=important, transform=transform,
+            )
+        elif ty == "moving-sphere":
+            # SUPERSET of the reference schema (json.rs has no moving
+            # shape — its camera shutter jitter goes unused): a linear
+            # RTNW moving sphere.  No transform / important support.
+            if transform is not None:
+                raise NotImplementedError(
+                    "moving-sphere does not take a transform"
+                )
+            if important:
+                raise NotImplementedError(
+                    "moving-sphere cannot be an important light"
+                )
+            self.b.add_sphere_moving(
+                d["center0"], d["center1"], d["radius"], material,
+                time0=d.get("time0", 0.0), time1=d.get("time1", 1.0),
             )
         elif ty == "xy-rect":
             self.b.add_rect(

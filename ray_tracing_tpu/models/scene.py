@@ -53,11 +53,16 @@ def _i32(x):
 
 @struct.dataclass
 class SphereTable:
-    center: jnp.ndarray  # (S, 3) f32
+    center: jnp.ndarray  # (S, 3) f32 — position at absolute time 0
     radius: jnp.ndarray  # (S,) f32
     material: jnp.ndarray  # (S,) i32 index into MaterialTable
     transform: jnp.ndarray  # (S,) i32 index into TransformTable (0 = identity)
     has_transforms: bool = struct.field(pytree_node=False, default=False)
+    # true motion blur (superset: the reference jitters ray time but
+    # nothing consumes it — camera.rs:113-129): center(t) = center +
+    # t * vel, with t the ray's shutter time.  None == all static.
+    vel: Optional[jnp.ndarray] = None  # (S, 3) f32
+    has_motion: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self):
         return self.center.shape[0]
@@ -349,10 +354,19 @@ class SceneData:
     n_rects: int = struct.field(pytree_node=False, default=0)
     n_lights: int = struct.field(pytree_node=False, default=0)
     n_medium: int = struct.field(pytree_node=False, default=0)
+    # shutter window [t0, t1] for motion blur; the renderer stamps the
+    # camera's time0/time1 here when the scene has moving spheres (ray
+    # time is derived per ray id from the counter hash — ops/rng.py —
+    # so it needs no per-ray carry and replays bit-exactly)
+    shutter: Optional[jnp.ndarray] = None  # (2,) f32
 
     @property
     def has_lights(self) -> bool:
         return self.n_lights > 0
+
+    @property
+    def has_motion(self) -> bool:
+        return self.n_spheres > 0 and self.spheres.has_motion
 
 
 def identity_transform_table(extra: Optional[list] = None) -> TransformTable:

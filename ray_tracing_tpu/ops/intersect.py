@@ -73,22 +73,29 @@ def _sphere_object_ray(scene: SceneData, ro, rd, t_min, t_max):
     return ro_n, rd_n, None, t_min, t_max
 
 
-def _sphere_phase_a(scene: SceneData, ro, rd, t_min, t_max):
+def _sphere_phase_a(scene: SceneData, ro, rd, t_min, t_max, t_ray=None):
     sp = scene.spheres
     ro_o, rd_o, nrm, t_min_o, t_max_o = _sphere_object_ray(
         scene, ro, rd, t_min, t_max
     )
-    solid = geo.sphere_t(ro_o, rd_o, sp.center, sp.radius, t_min_o, t_max_o)
+    center = sp.center
+    if sp.has_motion and t_ray is not None:
+        # motion blur: each ray sees the sphere at its own shutter time
+        # (builder guarantees motion and transforms never mix)
+        center = center[None, :, :] + t_ray[:, None, None] * sp.vel[None]
+    solid = geo.sphere_t(ro_o, rd_o, center, sp.radius, t_min_o, t_max_o)
     t, mask = solid.t, solid.mask
     if nrm is not None:
         t = t / nrm
     return t, mask
 
 
-def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx):
+def _sphere_phase_b(scene: SceneData, ro, rd, t_min, t_max, idx, t_ray=None):
     """Full record for one gathered sphere per ray; idx: (N,)."""
     sp = scene.spheres
     center = take_rows(sp.center, idx)  # (N, 3)
+    if sp.has_motion and t_ray is not None:
+        center = center + t_ray[:, None] * take_rows(sp.vel, idx)
     radius = take_rows(sp.radius, idx)
     if sp.has_transforms:
         tr = take_rows(sp.transform, idx)
@@ -366,11 +373,14 @@ def intersect_scene(
     t_min: float,
     t_max: float,
     med_u: Optional[jnp.ndarray] = None,
+    t_ray: Optional[jnp.ndarray] = None,
 ) -> Hit:
     """Nearest hit of each ray against the whole scene.
 
     ro, rd: (N, 3); med_u: (N, n_medium) uniforms for constant-medium
-    free-flight sampling (may be None when the scene has no media).
+    free-flight sampling (may be None when the scene has no media);
+    t_ray: (N,) per-ray shutter times for motion blur (None for
+    shutter-less scenes — only moving spheres consume it).
     """
     n = ro.shape[0]
     best_t = jnp.full((n,), INF, dtype=jnp.float32)
@@ -419,7 +429,10 @@ def intersect_scene(
         best_kind = jnp.where(better, pkind, best_kind)
         best_idx = jnp.where(better, pidx, best_idx)
     elif scene.n_spheres:
-        consider(*_sphere_phase_a(scene, ro, rd, t_min, t_max), KIND_SPHERE)
+        consider(
+            *_sphere_phase_a(scene, ro, rd, t_min, t_max, t_ray),
+            KIND_SPHERE,
+        )
     if scene.n_triangles:
         strategy = mesh_strategy(scene)
         if strategy == "bvh":
@@ -450,8 +463,18 @@ def intersect_scene(
                     and jax.default_backend() in ("tpu", "axon")
                 )
             if use_tri_pallas and strategy == "cluster":
-                tt, ti, tm = pallas_cluster_sweep(scene, ro, rd)
-                consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
+                from ray_tracing_tpu.ops.pallas_triangles import (
+                    pallas_cluster_eligible,
+                )
+
+                if pallas_cluster_eligible(scene):
+                    tt, ti, tm = pallas_cluster_sweep(scene, ro, rd)
+                    consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
+                else:
+                    ct, ci, cm = _triangle_cluster_phase_a(
+                        scene, ro, rd, t_min, t_max
+                    )
+                    consider_per_ray(ct, ci, cm, KIND_TRIANGLE)
             elif use_tri_pallas:
                 tt, ti, tm = pallas_triangle_sweep(scene, ro, rd)
                 consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
@@ -494,7 +517,7 @@ def intersect_scene(
         material = jnp.where(sel, mat_ids, material)
 
     if scene.n_spheres:
-        rec = _sphere_phase_b(scene, ro, rd, t_min, t_max, best_idx)
+        rec = _sphere_phase_b(scene, ro, rd, t_min, t_max, best_idx, t_ray)
         merge(KIND_SPHERE, rec, take_rows(scene.spheres.material, best_idx))
     if scene.n_triangles:
         rec = _triangle_phase_b(scene, ro, rd, t_min, t_max, best_idx)

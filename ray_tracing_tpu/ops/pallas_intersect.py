@@ -219,8 +219,11 @@ def pallas_eligible(scene: SceneData) -> bool:
     """The kernel covers ALL analytic primitives — spheres and rects,
     transformed or not (constant media live in their own table,
     ops/intersect.py:_medium_phase_a, so they never block
-    eligibility)."""
-    return (scene.n_spheres + scene.n_rects) > 0
+    eligibility).  Motion-blur scenes take the XLA path: the kernel
+    has no per-ray shutter-time input."""
+    return (scene.n_spheres + scene.n_rects) > 0 and not (
+        scene.n_spheres and scene.spheres.has_motion
+    )
 
 
 @functools.partial(

@@ -60,12 +60,14 @@ def pack_triangle_table(tr) -> jnp.ndarray:
     return tbl.T
 
 
-def pack_chunk_aabbs(tr) -> jnp.ndarray:
-    """(6, Kc) per-TRI_CHUNK AABBs in sweep-origin space: rows
+def pack_chunk_aabbs(tr, chunk: int = TRI_CHUNK) -> jnp.ndarray:
+    """(6, Kc) per-``chunk`` AABBs in sweep-origin space: rows
     [lo(3) hi(3)].  Triangles arrive Morton-sorted for mesh scenes
     (models/compiler.py), so contiguous chunks are spatially tight —
     the same property the two-level cluster sweep exploits.  Padded
-    rows use ±inf corners so they never widen a box."""
+    rows use ±inf corners so they never widen a box.  ``chunk`` must
+    divide TRI_CHUNK so a TRI_CHUNK-padded table is also a multiple."""
+    assert TRI_CHUNK % chunk == 0
     v0 = tr.v0 - tr.sw_origin[None, :]
     corners = jnp.stack([v0, v0 + tr.e12, v0 + tr.e13])  # (3, T, 3)
     t = v0.shape[0]
@@ -74,9 +76,9 @@ def pack_chunk_aabbs(tr) -> jnp.ndarray:
                    constant_values=np.inf)
     hi_c = jnp.pad(corners, ((0, 0), (0, pad), (0, 0)),
                    constant_values=-np.inf)
-    kc = (t + pad) // TRI_CHUNK
-    lo = jnp.min(lo_c.reshape(3, kc, TRI_CHUNK, 3), axis=(0, 2))  # (Kc, 3)
-    hi = jnp.max(hi_c.reshape(3, kc, TRI_CHUNK, 3), axis=(0, 2))
+    kc = (t + pad) // chunk
+    lo = jnp.min(lo_c.reshape(3, kc, chunk, 3), axis=(0, 2))  # (Kc, 3)
+    hi = jnp.max(hi_c.reshape(3, kc, chunk, 3), axis=(0, 2))
     return jnp.concatenate([lo, hi], axis=1).T.astype(jnp.float32)
 
 
@@ -240,13 +242,19 @@ def pallas_triangles_eligible(scene) -> bool:
 # geometry.triangle_cluster_sweep_t but with zero intermediate HBM
 # traffic and a scalar-side cull.
 
-CL_BLOCK_ROWS = 32
-# 4096 rays/block: tighter culls than 64 (matches the 4096-ray tile
-# coherence the renderer uses for BVH-scale scenes).  Override with
-# RAY_TPU_CL_BLOCK_ROWS (read at trace time) for A/B tuning.
+CL_BLOCK_ROWS = 16
+CL_CHUNK = 128
+# (16 rows x 2048 rays, 128-tri clusters) measured best on the 79k
+# bunny grid at 512^2: 1.31 s/pass vs 2.60 at (32, 1024), 2.08 for
+# the XLA cluster sweep, 4.7/9.9 at 64/128 rows — cull selectivity
+# dominates, so finer blocks AND finer clusters win until the Kc<=1024
+# single-tile cap (cl_chunk must divide TRI_CHUNK; 64-tri clusters
+# would overflow the cap beyond 65k tris).  Override with
+# RAY_TPU_CL_BLOCK_ROWS / RAY_TPU_CL_CHUNK (read at trace time).
 
 
-def _cluster_kernel(n_clusters, aabb_ref, tri_hbm,
+def _cluster_kernel(n_clusters, cl_chunk,
+                    lox, loy, loz, hix, hiy, hiz, tri_hbm,
                     rox, roy, roz, rdx, rdy, rdz,
                     t_out, idx_out, found_out,
                     tri_smem, sem):
@@ -271,9 +279,15 @@ def _cluster_kernel(n_clusters, aabb_ref, tri_hbm,
         window = t_out[:]
         near = jnp.full(window.shape, EPSILON, jnp.float32)
         far = window
-        for ax, inv in ((0, inv0), (1, inv1), (2, inv2)):
-            a = (aabb_ref[ax, k] - ro[ax]) * inv
-            b_ = (aabb_ref[3 + ax, k] - ro[ax]) * inv
+        # six 1-D SMEM tables, NOT one (6, Kc) array: a 2-D SMEM
+        # operand's tiled layout misindexes once Kc exceeds one
+        # 128-lane tile (observed: exact at Kc<=78, ~half the hits
+        # lost at Kc=156)
+        for lo_r, hi_r, ax, inv in (
+            (lox, hix, 0, inv0), (loy, hiy, 1, inv1), (loz, hiz, 2, inv2)
+        ):
+            a = (lo_r[k] - ro[ax]) * inv
+            b_ = (hi_r[k] - ro[ax]) * inv
             near = jnp.maximum(near, jnp.minimum(a, b_))
             far = jnp.minimum(far, jnp.maximum(a, b_))
 
@@ -282,12 +296,12 @@ def _cluster_kernel(n_clusters, aabb_ref, tri_hbm,
             # fetch this cluster's constants: HBM -> SMEM, on demand —
             # a culled cluster costs neither DMA nor sweep
             cp = pltpu.make_async_copy(
-                tri_hbm.at[:, pl.ds(k * TRI_CHUNK, TRI_CHUNK)],
+                tri_hbm.at[:, pl.ds(k * cl_chunk, cl_chunk)],
                 tri_smem, sem,
             )
             cp.start()
             cp.wait()
-            base = k * TRI_CHUNK
+            base = k * cl_chunk
 
             def body(t, carry):
                 best_t, best_idx, found = carry
@@ -321,7 +335,7 @@ def _cluster_kernel(n_clusters, aabb_ref, tri_hbm,
                 return best_t, best_idx, found
 
             best = jax.lax.fori_loop(
-                0, TRI_CHUNK, body, (t_out[:], idx_out[:], found_out[:])
+                0, cl_chunk, body, (t_out[:], idx_out[:], found_out[:])
             )
             t_out[:], idx_out[:], found_out[:] = best
 
@@ -330,11 +344,13 @@ def _cluster_kernel(n_clusters, aabb_ref, tri_hbm,
     jax.lax.fori_loop(0, n_clusters, cluster, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def _run_cluster(aabb, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret,
-                 block_rows=CL_BLOCK_ROWS):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows", "cl_chunk")
+)
+def _run_cluster(aabb6, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret,
+                 block_rows=CL_BLOCK_ROWS, cl_chunk=TRI_CHUNK):
     rows = rox.shape[0]
-    n_clusters = tri.shape[1] // TRI_CHUNK
+    n_clusters = tri.shape[1] // cl_chunk
     grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec(
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -343,27 +359,40 @@ def _run_cluster(aabb, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret,
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
-    aabb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (6, Kc)
+    aabb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (Kc,) each
     shape_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    kernel = functools.partial(_cluster_kernel, n_clusters)
+    kernel = functools.partial(_cluster_kernel, n_clusters, cl_chunk)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[aabb_spec, tri_spec, ray_spec, ray_spec, ray_spec,
-                  ray_spec, ray_spec, ray_spec],
+        in_specs=[aabb_spec] * 6 + [tri_spec, ray_spec, ray_spec, ray_spec,
+                                    ray_spec, ray_spec, ray_spec],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[shape_f, shape_i, shape_i],
         scratch_shapes=[
-            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SMEM((16, cl_chunk), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(aabb, tri, rox, roy, roz, rdx, rdy, rdz)
+    )(*aabb6, tri, rox, roy, roz, rdx, rdy, rdz)
+
+
+def pallas_cluster_eligible(scene) -> bool:
+    """The six 1-D cluster-AABB tables must each fit ONE XLA T(1024)
+    tile (the 2-D (6, Kc) layout misindexed past 128 lanes — see
+    _cluster_kernel); beyond ~1M triangles at the default chunk the
+    XLA cluster sweep takes over."""
+    if not (scene.n_triangles > 0 and scene.triangles.has_sweep):
+        return False
+    cl_chunk = int(os.environ.get("RAY_TPU_CL_CHUNK", "") or CL_CHUNK)
+    t_pad = -(-scene.n_triangles // TRI_CHUNK) * TRI_CHUNK
+    return t_pad // cl_chunk <= 1024
 
 
 def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
-                         block_rows: int | None = None):
+                         block_rows: int | None = None,
+                         cl_chunk: int | None = None):
     """Per-ray nearest-triangle candidate via the demand-fetched
     two-level cluster sweep — the large-mesh (> SWEEP_MAX_TRIS) path.
 
@@ -377,12 +406,17 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
     rd = sg(rd)
     tr_sg = jax.tree.map(sg, tr)
     tri = pack_triangle_table(tr_sg)
-    aabb = pack_chunk_aabbs(tr_sg)
 
     if block_rows is None:
         block_rows = int(
             os.environ.get("RAY_TPU_CL_BLOCK_ROWS", "") or CL_BLOCK_ROWS
         )
+    if cl_chunk is None:
+        cl_chunk = int(
+            os.environ.get("RAY_TPU_CL_CHUNK", "") or CL_CHUNK
+        )
+    aabb = pack_chunk_aabbs(tr_sg, chunk=cl_chunk)
+    aabb6 = tuple(aabb[i] for i in range(6))  # six contiguous (Kc,) rows
     n = ro.shape[0]
     block = block_rows * LANES
     n_pad = -(-n // block) * block
@@ -393,7 +427,8 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
     comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
 
     t, idx, found = _run_cluster(
-        aabb, tri, *comps, interpret=interpret, block_rows=block_rows
+        aabb6, tri, *comps, interpret=interpret, block_rows=block_rows,
+        cl_chunk=cl_chunk,
     )
     return (
         t.reshape(-1)[:n],

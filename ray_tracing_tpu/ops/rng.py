@@ -85,3 +85,19 @@ def ray_uniforms(key, ids, stream, n_cols: int):
     h = pcg(base[:, None] + cols[None, :])  # (n, n_cols)
     # 24 high bits -> [0, 1), the jax.random.uniform convention
     return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+
+
+# dedicated stream id for the per-ray shutter time: far outside any real
+# bounce index, so it never collides with scatter/medium draws
+TIME_STREAM = 0x7F000001
+
+
+def ray_time(key, ids, shutter):
+    """(n,) shutter times in [shutter[0], shutter[1]], a pure function
+    of (key, ray id) — the motion-blur analogue of ray_uniforms.  Being
+    id-keyed (not position- or carry-based), the whole path sees one
+    instant, compaction keeps it bit-identical, and every replay (PRB,
+    tangent subsets, the tape) recomputes it exactly — no per-ray time
+    needs to ride the carries."""
+    u = ray_uniforms(key, ids, TIME_STREAM, 1)[:, 0]
+    return shutter[0] + u * (shutter[1] - shutter[0])

@@ -38,6 +38,21 @@ from ray_tracing_tpu.ops.rng import ray_uniforms
 # import it from here.  Canonical home: ops/rng.py.
 
 
+def _shutter_times(scene: SceneData, key, ids):
+    """Per-ray shutter times for motion-blur scenes, id-keyed so no
+    carry is needed (ops/rng.ray_time); None when nothing moves."""
+    if not scene.has_motion:
+        return None
+    from ray_tracing_tpu.ops.rng import ray_time
+
+    shutter = (
+        scene.shutter
+        if scene.shutter is not None
+        else jnp.zeros((2,), jnp.float32)
+    )
+    return ray_time(key, ids, shutter)
+
+
 def _bounce(scene: SceneData, key, bounce, carry):
     """One wavefront bounce: intersect, emit/background, scatter.
     carry = (rad, thr, ro, rd, alive, ids, segments); uniforms keyed by
@@ -47,7 +62,8 @@ def _bounce(scene: SceneData, key, bounce, carry):
     n_med = scene.n_medium
     u_all = ray_uniforms(key, ids, bounce, N_SCATTER_U + n_med)
     med_u = u_all[:, N_SCATTER_U:] if n_med > 0 else None
-    hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
+    t_ray = _shutter_times(scene, key, ids)
+    hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u, t_ray)
     found = alive & hit.mask
     miss = alive & ~hit.mask
 

@@ -180,7 +180,10 @@ def _prb_bounce(scene: SceneData, key, bounce, carry, accumulate=True):
     n_med = scene.n_medium
     u_all = ray_uniforms(key, ids, bounce, N_SCATTER_U + n_med)
     med_u = u_all[:, N_SCATTER_U:] if n_med > 0 else None
-    hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u)
+    from ray_tracing_tpu.render.integrator import _shutter_times
+
+    t_ray = _shutter_times(scene, key, ids)
+    hit = intersect_scene(scene, ro, rd, EPSILON, INF, med_u, t_ray)
     found = alive & hit.mask
     miss = alive & ~hit.mask
 

@@ -113,7 +113,15 @@ def test_cluster_kernel_compiled_on_tpu_matches_xla():
     scene = _grid_scene()
     ro, rd = _rays(4096, 2)
     tx, ix, mx = map(np.asarray, _xla_winner(scene, ro, rd))
-    tp, ip, mp = map(np.asarray, pallas_cluster_sweep(scene, ro, rd))
-    np.testing.assert_array_equal(mx, mp)
-    np.testing.assert_array_equal(ix[mx], ip[mp])
-    np.testing.assert_allclose(tx[mx], tp[mp], rtol=1e-5)
+    # cl_chunk=128 -> 160 clusters: the 1-D AABB tables span more than
+    # one 128-lane tile, the exact regime where the old 2-D (6, Kc)
+    # SMEM operand silently misindexed on real TPU (half the hits lost
+    # at Kc=156; interpret mode hid it)
+    for cl_chunk in (1024, 128):
+        tp, ip, mp = map(
+            np.asarray,
+            pallas_cluster_sweep(scene, ro, rd, cl_chunk=cl_chunk),
+        )
+        np.testing.assert_array_equal(mx, mp)
+        np.testing.assert_array_equal(ix[mx], ip[mp])
+        np.testing.assert_allclose(tx[mx], tp[mp], rtol=1e-5)
