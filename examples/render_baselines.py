@@ -1,4 +1,4 @@
-"""Render the five BASELINE.md configurations (C1-C5) and record
+"""Render the BASELINE.md configurations (C1-C6) and record
 throughput, producing the golden images the reference's CLI would
 produce for side-by-side comparison.
 
@@ -8,6 +8,8 @@ produce for side-by-side comparison.
   C4  data/bunny.obj mesh        512^2 / 128 spp   (LBVH traversal)
   C5  data/zy_scene.json        1024^2 / 256 spp   (the headline config;
       its differentiable albedo fit lives in examples/fit_albedo.py)
+  C6  4x4 bunny grid (79k tris)  512^2 /  32 spp   (large-mesh cluster
+      kernel — a superset config; the reference has no >32k-tri scene)
 
 Run: python examples/render_baselines.py [--out dir] [--configs C1,C2]
      [--spp-scale 0.25]   (scale spp for quick smoke runs)
@@ -82,6 +84,34 @@ def scene_c4():
     return b, cam
 
 
+def scene_c6():
+    """4x4 grid of bunnies, 79488 triangles (large-mesh traversal:
+    the demand-fetched Pallas cluster sweep)."""
+    from ray_tracing_tpu import CameraParam, SceneBuilder
+    from ray_tracing_tpu.models.mesh import load_triangles
+
+    b = SceneBuilder(background=(0.7, 0.8, 1.0))
+    white = b.add_lambertian(b.add_texture_solid((0.73, 0.73, 0.73)))
+    ground = b.add_lambertian(b.add_texture_solid((0.4, 0.5, 0.4)))
+    pts, nrm, uvs = load_triangles(_data("data/bunny.obj"))
+    allp, alln, alluv = [], [], []
+    for i in range(4):
+        for j in range(4):
+            off = np.asarray(
+                [(i - 1.5) * 0.25, 0.0, (j - 1.5) * 0.25], np.float32
+            )
+            allp.append(pts + off)
+            alln.append(nrm)
+            alluv.append(uvs)
+    b.add_mesh_triangles(
+        np.concatenate(allp), np.concatenate(alln), np.concatenate(alluv),
+        white,
+    )
+    b.add_rect("zx", -5, 5, -5, 5, 0.033, ground, positive=True)
+    cam = CameraParam((-0.7, 0.8, 1.2), (0.0, 0.1, 0.0), 40)
+    return b, cam
+
+
 def main():
     import jax
 
@@ -93,7 +123,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="baseline_renders")
-    ap.add_argument("--configs", default="C1,C2,C3,C4,C5")
+    ap.add_argument("--configs", default="C1,C2,C3,C4,C5,C6")
     ap.add_argument("--spp-scale", type=float, default=1.0)
     ap.add_argument("--res-scale", type=float, default=1.0)
     args = ap.parse_args()
@@ -116,10 +146,13 @@ def main():
         if name == "C5":
             bd = load_scene_json(_data("data/zy_scene.json"))
             return bd.scene, bd.camera, 1024, 256
+        if name == "C6":
+            b, cam = scene_c6()
+            return b.build(), cam, 512, 32
         raise KeyError(name)
 
     results = {}
-    for name in ("C1", "C2", "C3", "C4", "C5"):
+    for name in ("C1", "C2", "C3", "C4", "C5", "C6"):
         if name not in wanted:
             continue
         scene, cam, size, spp = build(name)
