@@ -222,9 +222,16 @@ def pallas_triangle_sweep(scene, ro, rd, interpret: bool = False):
 
 
 def pallas_triangles_eligible(scene) -> bool:
-    """Kernel needs the sweep constants; the SMEM-streamed table grows
-    with T, so cap at the sweep strategy's own limit."""
-    return scene.n_triangles > 0 and scene.triangles.has_sweep
+    """Kernel needs the sweep constants.  The (6, Kc) chunk-AABB
+    operand is a 2-D SMEM array, which misindexes beyond one 128-lane
+    tile on real TPU (see pallas_cluster_eligible) — auto-routing caps
+    at SWEEP_MAX_TRIS (Kc <= 32) but an explicit RAY_TPU_MESH=sweep
+    override must not cross Kc = 128 either."""
+    return (
+        scene.n_triangles > 0
+        and scene.triangles.has_sweep
+        and scene.n_triangles <= 128 * TRI_CHUNK
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -195,3 +195,40 @@ def test_shared_texture_builds_once():
     s.add(v4ray.shape.Sphere((2, 0, -3), 1.0), v4ray.material.Isotropic(tex))
     scene = s.compile()
     assert scene.textures.images.shape[0] == 1  # not duplicated
+
+
+def test_moving_sphere_api_and_plugin():
+    """MovingSphere through the v4ray compat surface and the frontend
+    plugin registry (superset: true motion blur)."""
+    import v4ray_tpu as v4ray
+    from v4ray_frontend_tpu import shapes
+    from v4ray_frontend_tpu.shape import MovingSphere
+
+    assert MovingSphere in shapes
+    data = [-0.5, 0.0, -3.0, 0.5, 0.0, -3.0, 0.5, 0.0, 1.0]
+    assert MovingSphere.validate(data)
+    assert not MovingSphere.validate(data[:8] + [0.0])  # time1 == time0
+    j = MovingSphere.to_json(data)
+    assert MovingSphere.from_json(j) == data
+    (shape,) = MovingSphere.apply(data)
+    assert shape.radius == 0.5
+
+    scene = v4ray.Scene(background=(0.2, 0.2, 0.2))
+    scene.add(
+        shape,
+        v4ray.material.Lambertian(v4ray.texture.SolidColor((0.8, 0.2, 0.2))),
+    )
+    cam = v4ray.PerspectiveCameraParam(
+        look_from=(0, 0, 1), look_at=(0, 0, -3), vfov=60,
+        time0=0.0, time1=1.0,
+    )
+    renderer = v4ray.Renderer(
+        v4ray.RendererParam(24, 24, max_depth=3), cam, scene
+    )
+    img = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        renderer.render()
+    )
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(img).all()
+    # the red streak is visible somewhere
+    assert (img[:, :, 0] - img[:, :, 1]).max() > 0.01

@@ -17,6 +17,7 @@ from v4ray_frontend_tpu.material import (
 )
 from v4ray_frontend_tpu.shape import (
     Cuboid,
+    MovingSphere,
     ShapeType,
     Sphere,
     Triangle,
@@ -26,7 +27,9 @@ from v4ray_frontend_tpu.shape import (
 )
 from v4ray_frontend_tpu.texture import Checker, Noise, SolidColor, TextureType
 
-shapes: List[Type[ShapeType]] = [Sphere, XYRect, YZRect, ZXRect, Cuboid, Triangle]
+shapes: List[Type[ShapeType]] = [
+    Sphere, MovingSphere, XYRect, YZRect, ZXRect, Cuboid, Triangle
+]
 textures: List[Type[TextureType]] = [SolidColor, Checker, Noise]
 materials: List[Type[MaterialType]] = [
     Lambertian, Metal, Dielectric, DiffuseLight, Isotropic

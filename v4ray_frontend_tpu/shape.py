@@ -16,7 +16,8 @@ from v4ray_frontend_tpu.plugin import ShapeType
 from v4ray_frontend_tpu.properties import FloatProperty
 
 __all__ = [
-    "ShapeType", "Sphere", "XYRect", "YZRect", "ZXRect", "Cuboid", "Triangle",
+    "ShapeType", "Sphere", "MovingSphere", "XYRect", "YZRect", "ZXRect",
+    "Cuboid", "Triangle",
 ]
 
 
@@ -33,6 +34,35 @@ class Sphere(ShapeType):
     @classmethod
     def apply(cls, data):
         return [v4ray.shape.Sphere(tuple(data[0:3]), data[3])]
+
+
+class MovingSphere(ShapeType):
+    """True motion blur (superset — see v4ray_tpu.shape.MovingSphere)."""
+
+    KIND = "moving-sphere"
+    FIELDS = (
+        FloatProperty("center0 x", slot=("center0",)),
+        FloatProperty("center0 y", slot=("center0",)),
+        FloatProperty("center0 z", slot=("center0",)),
+        FloatProperty("center1 x", slot=("center1",)),
+        FloatProperty("center1 y", slot=("center1",)),
+        FloatProperty("center1 z", slot=("center1",)),
+        FloatProperty("radius", slot="radius",
+                      check=lambda v: float(v) > 0),
+        FloatProperty("time0", slot="time0"),
+        FloatProperty("time1", default=1.0, slot="time1"),
+    )
+
+    @classmethod
+    def rule(cls, data):
+        return float(data[8]) != float(data[7])
+
+    @classmethod
+    def apply(cls, data):
+        return [v4ray.shape.MovingSphere(
+            tuple(data[0:3]), tuple(data[3:6]), data[6],
+            time0=data[7], time1=data[8],
+        )]
 
 
 def _rect_plugin(kind_name, backend_cls, axes):

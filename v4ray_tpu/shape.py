@@ -54,6 +54,38 @@ class Sphere:
         b.add_sphere(self.center, self.radius, material, important=important)
 
 
+class MovingSphere:
+    """Linearly moving sphere (true motion blur — superset: the
+    reference's camera jitters ray time, src/camera.rs:113-129, but no
+    shape consumes it).  At ``center0`` at shutter time ``time0`` and
+    ``center1`` at ``time1``."""
+
+    def __init__(self, center0, center1, radius: float,
+                 time0: float = 0.0, time1: float = 1.0):
+        self.center0 = tuple(float(x) for x in center0)
+        self.center1 = tuple(float(x) for x in center1)
+        self.radius = float(radius)
+        self.time0 = float(time0)
+        self.time1 = float(time1)
+
+    def bounding_box(self, time0: float = 0.0, time1: float = 0.0) -> AABB:
+        c0, c1 = np.asarray(self.center0), np.asarray(self.center1)
+        r = self.radius
+        lo = np.minimum(c0, c1) - r
+        hi = np.maximum(c0, c1) + r
+        return AABB(tuple(lo), tuple(hi))
+
+    def _build(self, b, material: int, important: bool) -> None:
+        if important:
+            raise NotImplementedError(
+                "a moving sphere cannot be an important light"
+            )
+        b.add_sphere_moving(
+            self.center0, self.center1, self.radius, material,
+            time0=self.time0, time1=self.time1,
+        )
+
+
 class Triangle:
     """reference src/hittable/triangle.rs."""
 
