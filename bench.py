@@ -160,43 +160,88 @@ def main():
             )
             return loss, segs, g
     else:
+        from ray_tracing_tpu.render.prb_scalar import scalar_tangent_pass
+
         @jax.jit
         def fwd_bwd(params, s, key):
+            # ONE key + per-tile ids_base: the tiles form a single
+            # logical wavefront (uniforms are keyed by absolute ray
+            # id), so the fuzz/IR tangent pass runs ONCE over the
+            # whole image's ~2% touched rays instead of paying a sort
+            # + batch machinery per tile (deferred-scalars protocol,
+            # render/prb_scalar.py)
             ro, rd, _, k_trace = camera_rays(camera, key, WIDTH, HEIGHT, True)
-            ro = ro.reshape(n_tiles, tile, 3)
-            rd = rd.reshape(n_tiles, tile, 3)
-            tile_ids = jnp.arange(n_tiles, dtype=jnp.uint32)
+            ro_t = ro.reshape(n_tiles, tile, 3)
+            rd_t = rd.reshape(n_tiles, tile, 3)
+            bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
 
             def tile_fb(args):
-                ro_t, rd_t, tid = args
+                ro_i, rd_i, base = args
                 return prb_loss_and_grad_all(
-                    jnp.sum, params, s, ro_t, rd_t,
-                    jax.random.fold_in(k_trace, tid), max_depth,
+                    jnp.sum, params, s, ro_i, rd_i, k_trace, max_depth,
                     static_scene=scene,  # concrete rows; s stays traced
+                    ids_base=base, defer_scalars=True,
                 )
 
-            sums, gs = jax.lax.map(tile_fb, (ro, rd, tile_ids))
+            sums, gs, (rads, gcs, touched) = jax.lax.map(
+                tile_fb, (ro_t, rd_t, bases)
+            )
             # per-tile loss is sum(rad); the image loss is mean over all
             # rays*channels, so scale the summed cotangents by 1/(n*3)
             loss = jnp.sum(sums) / (n * 3)
             g = jax.tree.map(lambda a: jnp.sum(a, axis=0) / (n * 3), gs)
+            gfuzz, gir = scalar_tangent_pass(
+                params, s, ro, rd, k_trace, max_depth,
+                rads.reshape(n, 3), gcs.reshape(n, 3) / (n * 3),
+                touched.reshape(n), static_scene=scene,
+                tangent_cap=int(
+                    os.environ.get("RAY_TPU_BENCH_TCAP", 0) or 32768
+                ),
+            )
+            g = g._replace(fuzz=gfuzz, ir=gir)
             return loss, jnp.zeros(()), g
 
     bench_params = scene.textures.color if use_ad else params_of(scene)
 
     # untimed: traced-segment counts for the benchmark keys (the honest
-    # rays/s numerator, identical keys to the timed passes)
-    count_fn = jax.jit(
-        lambda s, c, key: render_pass(
-            s, c, key, width=WIDTH, height=HEIGHT,
-            max_depth=max_depth, antialias=True, tile_size=tile,
-            compaction=not use_ad, with_stats=True,
-        )[1]
-    )
-    seg_counts = [
-        float(count_fn(scene, camera, bench_key(i)))
-        for i in range(1, PASSES + 1)
-    ]
+    # rays/s numerator, identical keys AND identical rng layout to the
+    # timed passes — the PRB path uses one key + per-tile ids_base)
+    if use_ad:
+        count_fn = jax.jit(
+            lambda s, c, key: render_pass(
+                s, c, key, width=WIDTH, height=HEIGHT,
+                max_depth=max_depth, antialias=True, tile_size=tile,
+                compaction=False, with_stats=True,
+            )[1]
+        )
+        seg_counts = [
+            float(count_fn(scene, camera, bench_key(i)))
+            for i in range(1, PASSES + 1)
+        ]
+    else:
+        from ray_tracing_tpu.render.integrator import trace_compacted
+
+        @jax.jit
+        def count_fn(s, key):
+            ro, rd, _, k_trace = camera_rays(camera, key, WIDTH, HEIGHT, True)
+            ro_t = ro.reshape(n_tiles, tile, 3)
+            rd_t = rd.reshape(n_tiles, tile, 3)
+            bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+
+            def tile_cnt(args):
+                ro_i, rd_i, base = args
+                _, segs = trace_compacted(
+                    s, ro_i, rd_i, k_trace, max_depth,
+                    with_stats=True, ids_base=base,
+                )
+                return segs
+
+            return jnp.sum(jax.lax.map(tile_cnt, (ro_t, rd_t, bases)))
+
+        seg_counts = [
+            float(count_fn(scene, bench_key(i)))
+            for i in range(1, PASSES + 1)
+        ]
 
     # compile + warmup (float() forces a real host sync; block_until_ready
     # does not block through the axon tunnel)

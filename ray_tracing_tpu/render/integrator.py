@@ -88,6 +88,7 @@ def trace(
     remat: bool = False,
     with_stats: bool = False,
     early_exit: bool = False,
+    ids_base: int = 0,
 ) -> jnp.ndarray:
     """Trace a wavefront to completion; returns (N, 3) linear radiance.
 
@@ -97,12 +98,16 @@ def trace(
     FLOPs-for-HBM trade for differentiable rendering at full depth.
     with_stats: also return the total number of ray segments traced
     (sum over bounces of live rays), the honest numerator for rays/s.
+    ids_base: offset added to the per-ray RNG ids — a caller tiling a
+    larger wavefront can give every tile globally unique ids under ONE
+    key, which makes the whole image a single logical wavefront
+    (replays may then gather rays across tile boundaries).
     """
     n = ro.shape[0]
     rad = jnp.zeros((n, 3), dtype=jnp.float32)
     thr = jnp.ones((n, 3), dtype=jnp.float32)
     alive = jnp.ones((n,), dtype=bool)
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = ids_base + jnp.arange(n, dtype=jnp.int32)
     segments = jnp.zeros((), dtype=jnp.float32)
 
     def body(bounce, carry):
@@ -201,6 +206,7 @@ def trace_compacted(
     stage_bounces: int = 4,
     chunk_div: int | None = None,
     with_stats: bool = False,
+    ids_base: int = 0,
 ) -> jnp.ndarray:
     """Forward-only trace with staged wavefront compaction.
 
@@ -229,7 +235,9 @@ def trace_compacted(
     rad = jnp.zeros((n, 3), dtype=jnp.float32)
     thr = jnp.ones((n, 3), dtype=jnp.float32)
     alive = jnp.ones((n,), dtype=bool)
-    ids = jnp.arange(n, dtype=jnp.int32)  # sorted position -> pixel
+    # sorted position -> pixel (ids double as the RNG ids; see trace's
+    # ids_base note — the unsort below subtracts the base back off)
+    ids = ids_base + jnp.arange(n, dtype=jnp.int32)
     segments = jnp.zeros((), dtype=jnp.float32)
 
     carry = (rad, thr, ro, rd, alive, ids, segments)
@@ -292,8 +300,8 @@ def trace_compacted(
 
     rad, thr, ro, rd, alive, ids, segments = carry
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    # unsort: sorted position i belongs to pixel ids[i]
-    rad_out = jnp.zeros_like(rad).at[ids].set(rad)
+    # unsort: sorted position i belongs to pixel ids[i] - ids_base
+    rad_out = jnp.zeros_like(rad).at[ids - ids_base].set(rad)
     if with_stats:
         return rad_out, segments
     return rad_out

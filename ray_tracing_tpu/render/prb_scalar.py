@@ -135,7 +135,7 @@ def _scalar_tangent_pass(
     ro, rd, key, max_depth, rad, g, touched,
     *,
     compaction, fuzz_rows_j, ir_rows_j,
-    tangent_cap=None, tangent_chunk_div=None,
+    tangent_cap=None, tangent_chunk_div=None, ids_base=0,
 ):
     """Pass 2 — scalar tangents on the touched subset only.  A path
     that never hits a metal/dielectric has EXACTLY zero fuzz/IR
@@ -199,7 +199,7 @@ def _scalar_tangent_pass(
             )
             _, rad_t, _ = replay_fn(
                 scene_of(theta), ro_s, rd_s, key, max_depth,
-                rad_s, g_s, alive0=alive_s, ids0=sub,
+                rad_s, g_s, alive0=alive_s, ids0=ids_base + sub,
                 accumulate=False, **kw,
             )
             return jnp.vdot(g_s, rad_t)
@@ -244,7 +244,7 @@ def _prb_backward(
     ro, rd, key, max_depth, rad, g,
     *,
     compaction, fuzz_rows_j, ir_rows_j,
-    tangent_cap=None, tangent_chunk_div=None,
+    tangent_cap=None, tangent_chunk_div=None, ids_base=0,
 ) -> AllParams:
     """The full-parameter PRB backward: one accumulating color replay
     (pass 1) + the batched scalar tangent pass (pass 2).  Shared by the
@@ -256,14 +256,17 @@ def _prb_backward(
     # Pass 1 — primal replay over all rays: the PRB prefix sums
     # produce every color-linear gradient, and the bounce loop also
     # reports which rays' paths reach a metal / dielectric at all.
+    kw = {}
+    if ids_base:
+        kw["ids0"] = ids_base + jnp.arange(ro.shape[0], dtype=jnp.int32)
     gacc, rad_replay, touched = replay_fn(
-        _with_all(sc, p), ro, rd, key, max_depth, rad, g
+        _with_all(sc, p), ro, rd, key, max_depth, rad, g, **kw
     )
     gfuzz, gir = _scalar_tangent_pass(
         p, sc, ro, rd, key, max_depth, rad, g, touched,
         compaction=compaction, fuzz_rows_j=fuzz_rows_j,
         ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
-        tangent_chunk_div=tangent_chunk_div,
+        tangent_chunk_div=tangent_chunk_div, ids_base=ids_base,
     )
     return _assemble_grads(p, gacc, gfuzz, gir)
 
@@ -366,6 +369,8 @@ def prb_loss_and_grad_all(
     tangent_cap: int | None = None,
     tangent_chunk_div: int | None = None,
     use_tape: bool = True,
+    ids_base: int = 0,
+    defer_scalars: bool = False,
 ):
     """Loss value + full-parameter gradient with NO AD graph over the
     renderer — the fast path for fits whose loss is a cheap function of
@@ -388,6 +393,16 @@ def prb_loss_and_grad_all(
     Returns ``(loss, grads: AllParams)``.  Composes with lax.map /
     shard_map over ray tiles exactly like prb_radiance_all; for a
     decomposable loss the per-tile losses and grads simply sum.
+
+    ``ids_base`` offsets the per-ray RNG ids (see integrator.trace):
+    tiles of a larger wavefront traced under ONE key with globally
+    unique ids form a single logical wavefront.  With
+    ``defer_scalars``, the fuzz/IR tangent pass is SKIPPED and the
+    per-ray facts it needs are returned instead — callers tiling with
+    ids_base run :func:`scalar_tangent_pass` ONCE over the gathered
+    full wavefront (one argsort + one batch instead of per-tile
+    sorts), and the return becomes ``(loss, grads, (rad, g,
+    touched))`` with grads.fuzz/ir zero.
     """
     fuzz_rows_j, ir_rows_j = _resolve_scalar_rows(
         scene, static_scene, scalar_rows
@@ -396,30 +411,86 @@ def prb_loss_and_grad_all(
     if compaction and use_tape:
         from ray_tracing_tpu.render.prb_tape import tape_sweep, trace_taped
 
-        rad, touched, tape = trace_taped(s, ro, rd, key, max_depth)
+        rad, touched, tape = trace_taped(
+            s, ro, rd, key, max_depth, ids_base=ids_base
+        )
         loss, pull = jax.vjp(loss_fn, rad)
         (g,) = pull(jnp.ones_like(loss))
         gacc = tape_sweep(s, tape, rad, g, max_depth)
+        if defer_scalars:
+            gz = _assemble_grads(
+                params, gacc, jnp.zeros_like(params.fuzz),
+                jnp.zeros_like(params.ir),
+            )
+            return loss, gz, (rad, g, touched)
         gfuzz, gir = _scalar_tangent_pass(
             params, scene, ro, rd, key, max_depth, rad, g, touched,
             compaction=True, fuzz_rows_j=fuzz_rows_j,
             ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
-            tangent_chunk_div=tangent_chunk_div,
+            tangent_chunk_div=tangent_chunk_div, ids_base=ids_base,
         )
         return loss, _assemble_grads(params, gacc, gfuzz, gir)
     if compaction:
-        rad = trace_compacted(s, ro, rd, key, max_depth)
+        rad = trace_compacted(s, ro, rd, key, max_depth, ids_base=ids_base)
     else:
-        rad = trace(s, ro, rd, key, max_depth)
+        rad = trace(s, ro, rd, key, max_depth, ids_base=ids_base)
     loss, pull = jax.vjp(loss_fn, rad)
     (g,) = pull(jnp.ones_like(loss))
+    if defer_scalars:
+        replay_fn = prb_grad_compacted if compaction else prb_grad_dense
+        kw = {"ids0": ids_base + jnp.arange(ro.shape[0], dtype=jnp.int32)}
+        gacc, _, touched = replay_fn(
+            _with_all(scene, params), ro, rd, key, max_depth, rad, g, **kw
+        )
+        gz = _assemble_grads(
+            params, gacc, jnp.zeros_like(params.fuzz),
+            jnp.zeros_like(params.ir),
+        )
+        return loss, gz, (rad, g, touched)
     gparams = _prb_backward(
         params, scene, ro, rd, key, max_depth, rad, g,
         compaction=compaction, fuzz_rows_j=fuzz_rows_j,
         ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
-        tangent_chunk_div=tangent_chunk_div,
+        tangent_chunk_div=tangent_chunk_div, ids_base=ids_base,
     )
     return loss, gparams
+
+
+def scalar_tangent_pass(
+    params: AllParams,
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    rad: jnp.ndarray,
+    g: jnp.ndarray,
+    touched: jnp.ndarray,
+    *,
+    compaction: bool = True,
+    static_scene: SceneData | None = None,
+    scalar_rows: tuple | None = None,
+    tangent_cap: int | None = None,
+    tangent_chunk_div: int | None = None,
+    ids_base: int = 0,
+):
+    """The fuzz/IR forward-tangent pass as a standalone call: returns
+    ``(gfuzz, gir)`` from the forward's (rad, g, touched) — the second
+    half of :func:`prb_loss_and_grad_all`'s ``defer_scalars`` protocol.
+    ``ro``/``rd``/``rad``/``g``/``touched`` may be the CONCATENATION of
+    several tiles that were traced under one key with ``ids_base``
+    offsets (pass the full wavefront's base, normally 0): uniforms are
+    keyed by absolute ray id, so a gathered cross-tile subset replays
+    its paths bit-exactly."""
+    fuzz_rows_j, ir_rows_j = _resolve_scalar_rows(
+        scene, static_scene, scalar_rows
+    )
+    return _scalar_tangent_pass(
+        params, scene, ro, rd, key, max_depth, rad, g, touched,
+        compaction=compaction, fuzz_rows_j=fuzz_rows_j,
+        ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
+        tangent_chunk_div=tangent_chunk_div, ids_base=ids_base,
+    )
 
 
 def scalar_radiance(

@@ -169,13 +169,15 @@ def trace_taped(
     *,
     stage_bounces: int = 4,
     chunk_div: int | None = None,
+    ids_base: int = 0,
 ):
     """Compacted forward trace that also writes the PRB tape.
 
     Walks EXACTLY integrator.trace_compacted's schedule (same sorts,
     same chunks, same uniforms) — the radiance is bit-identical to it
     and to the dense loop.  Returns ``(rad (n,3), touched (n,), tape)``
-    with rad/touched in input-row order.
+    with rad/touched in input-row order.  ``ids_base`` offsets the RNG
+    ids (see integrator.trace) — tape.stage_ids stay tile-LOCAL.
     """
     n = ro.shape[0]
     if chunk_div is None:
@@ -189,7 +191,7 @@ def trace_taped(
     rad = jnp.zeros((n, 3), jnp.float32)
     thr = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = ids_base + jnp.arange(n, dtype=jnp.int32)
     touched = jnp.zeros((n,), bool)
     rows = _empty_rows(max_depth, n)
     stage_ids = jnp.zeros((n_stages, n), jnp.int32)
@@ -199,7 +201,7 @@ def trace_taped(
     offset = 0
     for stage, bounces in enumerate(schedule):
         if stage == 0:
-            stage_ids = stage_ids.at[0].set(ids)
+            stage_ids = stage_ids.at[0].set(ids - ids_base)
             alive_counts = alive_counts.at[0].set(n)
 
             def body0(b, c, _offset=offset):
@@ -219,7 +221,7 @@ def trace_taped(
         ids = ids[order]
         touched = touched[order]
         alive_count = jnp.sum(alive.astype(jnp.int32))
-        stage_ids = stage_ids.at[stage].set(ids)
+        stage_ids = stage_ids.at[stage].set(ids - ids_base)
         alive_counts = alive_counts.at[stage].set(alive_count)
 
         def chunk_body(state, _offset=offset, _bounces=bounces):
@@ -268,8 +270,8 @@ def trace_taped(
 
     rad, thr, ro, rd, alive, ids, touched, rows = carry
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    rad_out = jnp.zeros_like(rad).at[ids].set(rad)
-    touched_out = jnp.zeros((n,), bool).at[ids].set(touched)
+    rad_out = jnp.zeros_like(rad).at[ids - ids_base].set(rad)
+    touched_out = jnp.zeros((n,), bool).at[ids - ids_base].set(touched)
     tape = PrbTape(*rows, stage_ids=stage_ids, alive_counts=alive_counts)
     return rad_out, touched_out, tape
 

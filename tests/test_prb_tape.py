@@ -153,3 +153,61 @@ def test_loss_and_grad_tape_matches_replay_and_ad():
         )
     assert np.abs(np.asarray(g_t.fuzz)).sum() > 1e-7
     assert np.abs(np.asarray(g_t.ir)).sum() > 1e-7
+
+
+def test_tiled_ids_base_deferred_equals_full_width():
+    """Tiles traced under ONE key with ids_base offsets are the same
+    logical wavefront as the unsplit call: per-tile taped color grads +
+    ONE global deferred tangent pass must equal the full-width fused
+    call to float tolerance (paths are identical by construction)."""
+    from ray_tracing_tpu.render.prb_scalar import scalar_tangent_pass
+
+    scene = _textured_cornell()
+    n, tile = 4096, 2048
+    ro, rd = _rays(n, seed=5)
+    key = jax.random.key(13)
+    depth = 8
+    params = params_of(scene)
+    rng = np.random.RandomState(8)
+    w = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+
+    def loss_fn(rad):
+        return jnp.sum(w * rad)
+
+    l_full, g_full = jax.jit(
+        lambda p: prb_loss_and_grad_all(loss_fn, p, scene, ro, rd, key, depth)
+    )(params)
+
+    @jax.jit
+    def tiled(p):
+        losses, gs, rads, gcos, touches = [], [], [], [], []
+        for i in range(n // tile):
+            sl = slice(i * tile, (i + 1) * tile)
+            w_t = w[sl]
+            l_i, g_i, (rad_i, g_ray_i, touched_i) = prb_loss_and_grad_all(
+                lambda r, w_t=w_t: jnp.sum(w_t * r), p, scene,
+                ro[sl], rd[sl], key, depth,
+                ids_base=i * tile, defer_scalars=True,
+            )
+            losses.append(l_i)
+            gs.append(g_i)
+            rads.append(rad_i)
+            gcos.append(g_ray_i)
+            touches.append(touched_i)
+        loss = sum(losses)
+        g = jax.tree.map(lambda *x: sum(x), *gs)
+        gfuzz, gir = scalar_tangent_pass(
+            p, scene, ro, rd, key, depth,
+            jnp.concatenate(rads), jnp.concatenate(gcos),
+            jnp.concatenate(touches),
+        )
+        return loss, g._replace(fuzz=gfuzz, ir=gir)
+
+    l_t, g_t = tiled(params)
+    np.testing.assert_allclose(float(l_t), float(l_full), rtol=1e-6)
+    for name, a, b in zip(AllParams._fields, g_full, g_t):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-9, err_msg=name
+        )
+    assert np.abs(np.asarray(g_t.fuzz)).sum() > 1e-7
+    assert np.abs(np.asarray(g_t.ir)).sum() > 1e-7
