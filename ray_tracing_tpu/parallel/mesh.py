@@ -60,8 +60,12 @@ def sharded_trace(scene: SceneData, ro, rd, key, max_depth: int, mesh: Mesh):
     """
 
     def shard_fn(scene, ro_s, rd_s, key):
+        # ONE key + per-shard ids_base: the image is independent of the
+        # device count and bit-matches the unsharded trace (tests) —
+        # sharding is an execution strategy, like tiling / compaction
         dev = jax.lax.axis_index(RAY_AXIS)
-        return trace(scene, ro_s, rd_s, jax.random.fold_in(key, dev), max_depth)
+        return trace(scene, ro_s, rd_s, key, max_depth,
+                     ids_base=dev * ro_s.shape[0])
 
     return shard_map(
         shard_fn,
@@ -138,8 +142,9 @@ def sharded_prb_render(
     def shard_fn(colors, scene, ro_s, rd_s, key):
         dev = jax.lax.axis_index(RAY_AXIS)
         return prb_radiance(
-            colors, scene, ro_s, rd_s, jax.random.fold_in(key, dev),
+            colors, scene, ro_s, rd_s, key,
             max_depth, compaction=compaction,
+            ids_base=dev * ro_s.shape[0],
         )
 
     rad = shard_map(
@@ -196,9 +201,10 @@ def sharded_prb_render_all(
     def shard_fn(params, scene, ro_s, rd_s, key):
         dev = jax.lax.axis_index(RAY_AXIS)
         return prb_radiance_all(
-            params, scene, ro_s, rd_s, jax.random.fold_in(key, dev),
+            params, scene, ro_s, rd_s, key,
             max_depth, compaction=compaction,
             static_scene=static_scene,
+            ids_base=dev * ro_s.shape[0],
         )
 
     rad = shard_map(
@@ -286,10 +292,9 @@ def make_prb_train_step_all_direct(
             return jnp.sum(w_s[:, None] * (rad - target_s) ** 2) / (n * 3)
 
         loss, g = prb_loss_and_grad_all(
-            loss_fn, params, scene, ro_s, rd_s,
-            jax.random.fold_in(key, dev), max_depth,
+            loss_fn, params, scene, ro_s, rd_s, key, max_depth,
             compaction=compaction, static_scene=template_scene,
-            use_tape=use_tape,
+            use_tape=use_tape, ids_base=dev * ro_s.shape[0],
         )
         return (
             jax.lax.psum(loss, RAY_AXIS),

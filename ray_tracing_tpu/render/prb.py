@@ -447,6 +447,7 @@ def prb_radiance_full(
     max_depth: int,
     *,
     compaction: bool = True,
+    ids_base=0,
 ):
     """Per-ray radiance, differentiable w.r.t. every color-linear
     parameter (solid colors, atlas texels, metal albedo) via path-replay
@@ -474,7 +475,7 @@ def prb_radiance_full(
     )
     return prb_radiance_all(
         full, scene, ro, rd, key, max_depth,
-        compaction=compaction, scalar_rows=((), ()),
+        compaction=compaction, scalar_rows=((), ()), ids_base=ids_base,
     )
 
 
@@ -487,6 +488,7 @@ def prb_radiance(
     max_depth: int,
     *,
     compaction: bool = True,
+    ids_base=0,
 ):
     """Colors-only convenience wrapper over ``prb_radiance_full`` (the
     texel/metal cotangents fall out of the same replay and are simply
@@ -495,5 +497,6 @@ def prb_radiance(
         colors, scene.textures.images, scene.materials.albedo
     )
     return prb_radiance_full(
-        params, scene, ro, rd, key, max_depth, compaction=compaction
+        params, scene, ro, rd, key, max_depth, compaction=compaction,
+        ids_base=ids_base,
     )

@@ -256,11 +256,11 @@ def _prb_backward(
     # Pass 1 — primal replay over all rays: the PRB prefix sums
     # produce every color-linear gradient, and the bounce loop also
     # reports which rays' paths reach a metal / dielectric at all.
-    kw = {}
-    if ids_base:
-        kw["ids0"] = ids_base + jnp.arange(ro.shape[0], dtype=jnp.int32)
+    # ids_base may be TRACED (a shard_map axis index), so always build
+    # the explicit ids (base 0 reproduces the default arange exactly).
+    ids0 = ids_base + jnp.arange(ro.shape[0], dtype=jnp.int32)
     gacc, rad_replay, touched = replay_fn(
-        _with_all(sc, p), ro, rd, key, max_depth, rad, g, **kw
+        _with_all(sc, p), ro, rd, key, max_depth, rad, g, ids0=ids0
     )
     gfuzz, gir = _scalar_tangent_pass(
         p, sc, ro, rd, key, max_depth, rad, g, touched,
@@ -284,6 +284,7 @@ def prb_radiance_all(
     scalar_rows: tuple | None = None,
     tangent_cap: int | None = None,
     tangent_chunk_div: int | None = None,
+    ids_base=0,
 ):
     """Per-ray radiance, differentiable w.r.t. the full parameter set.
 
@@ -313,32 +314,34 @@ def prb_radiance_all(
     # correctly on both sides
     key_impl = jax.random.key_impl(key)
 
-    def run_fwd(p, sc, ro, rd, keydata):
+    def run_fwd(p, sc, ro, rd, keydata, base):
         k = jax.random.wrap_key_data(keydata, impl=key_impl)
         s = _with_all(sc, p)
         if compaction:
-            return trace_compacted(s, ro, rd, k, max_depth)
-        return trace(s, ro, rd, k, max_depth)
+            return trace_compacted(s, ro, rd, k, max_depth, ids_base=base)
+        return trace(s, ro, rd, k, max_depth, ids_base=base)
 
     # the scene passes through the custom_vjp as an explicit input with
     # zero cotangents so it may be a tracer of an enclosing shard_map /
-    # lax.map (only the static row indices come from the concrete scene)
+    # lax.map (only the static row indices come from the concrete
+    # scene); ids_base rides as an operand too — a traced shard index
+    # closed over would leak when bwd is traced later (scan transpose)
     @jax.custom_vjp
-    def inner(p, sc, ro, rd, keydata):
-        return run_fwd(p, sc, ro, rd, keydata)
+    def inner(p, sc, ro, rd, keydata, base):
+        return run_fwd(p, sc, ro, rd, keydata, base)
 
-    def fwd(p, sc, ro, rd, keydata):
-        rad = run_fwd(p, sc, ro, rd, keydata)
-        return rad, (p, sc, ro, rd, keydata, rad)
+    def fwd(p, sc, ro, rd, keydata, base):
+        rad = run_fwd(p, sc, ro, rd, keydata, base)
+        return rad, (p, sc, ro, rd, keydata, base, rad)
 
     def bwd(res, g):
-        p, sc, ro, rd, keydata, rad = res
+        p, sc, ro, rd, keydata, base, rad = res
         k = jax.random.wrap_key_data(keydata, impl=key_impl)
         gparams = _prb_backward(
             p, sc, ro, rd, k, max_depth, rad, g,
             compaction=compaction, fuzz_rows_j=fuzz_rows_j,
             ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
-            tangent_chunk_div=tangent_chunk_div,
+            tangent_chunk_div=tangent_chunk_div, ids_base=base,
         )
         return (
             gparams,
@@ -348,10 +351,14 @@ def prb_radiance_all(
             # key_data shape depends on the PRNG impl (threefry (2,),
             # rbg (4,)) — mirror the primal, don't hardcode
             np.zeros(jnp.shape(keydata), jax.dtypes.float0),
+            np.zeros((), jax.dtypes.float0),
         )
 
     inner.defvjp(fwd, bwd)
-    return inner(params, scene, ro, rd, jax.random.key_data(key))
+    return inner(
+        params, scene, ro, rd, jax.random.key_data(key),
+        jnp.asarray(ids_base, jnp.int32),
+    )
 
 
 def prb_loss_and_grad_all(

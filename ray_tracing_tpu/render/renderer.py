@@ -100,18 +100,24 @@ def render_pass(
         )
     ro = ro.reshape(n_tiles, tile_size, 3)
     rd = rd.reshape(n_tiles, tile_size, 3)
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.uint32)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
     def run_tile(args):
+        # ONE key + per-tile ids_base (globally unique RNG ids): the
+        # image is a pure function of (scene, camera, key) INDEPENDENT
+        # of tile_size — tiling is an execution strategy, like
+        # compaction (tests assert bit-equality across tile sizes).
         ro_t, rd_t, tid = args
-        tkey = jax.random.fold_in(k_trace, tid)
+        base = tid * tile_size
         if compaction:
             return trace_compacted(
-                scene, ro_t, rd_t, tkey, max_depth, with_stats=with_stats
+                scene, ro_t, rd_t, k_trace, max_depth,
+                with_stats=with_stats, ids_base=base,
             )
         return trace(
-            scene, ro_t, rd_t, tkey, max_depth,
+            scene, ro_t, rd_t, k_trace, max_depth,
             remat=remat, with_stats=with_stats, early_exit=early_exit,
+            ids_base=base,
         )
 
     if n_tiles == 1:

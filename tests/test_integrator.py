@@ -404,3 +404,51 @@ def test_golden_regression_earth_texture():
                      "earth_32_d4_key42.npy")
     )
     np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_render_independent_of_tile_size():
+    """Round 4: per-ray RNG ids are GLOBAL (key shared across tiles,
+    ids_base per tile), so the image is a pure function of
+    (scene, camera, key) — tile_size is an execution strategy, like
+    compaction, and must be BIT-invisible."""
+    from ray_tracing_tpu import load_scene_json
+
+    bd = load_scene_json("data/zy_scene.json")
+    imgs = []
+    for tile in (256, 512, 1024):
+        r = Renderer(
+            RendererParam(32, 32, max_depth=4), bd.camera, bd.scene,
+            tile_size=tile, compaction=False, early_exit=False,
+        )
+        imgs.append(np.asarray(r.render(42)))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
+def test_sharded_render_bit_matches_unsharded():
+    """Same invariance across the device mesh: an 8-device sharded pass
+    must equal the single-call trace bit-for-bit (per-shard ids_base
+    under one key — sharding is an execution strategy too)."""
+    import jax
+
+    from ray_tracing_tpu import Camera, CameraParam, load_scene_json
+    from ray_tracing_tpu.models.camera import camera_rays
+    from ray_tracing_tpu.parallel.mesh import make_mesh, sharded_trace
+
+    bd = load_scene_json("data/zy_scene.json")
+    cam = Camera.build(bd.camera, 1.0)
+    n = 2048
+    ro, rd, _, k_trace = camera_rays(cam, jax.random.key(3), 64, 32, True)
+    mesh = make_mesh()
+    shard = np.asarray(
+        sharded_trace(bd.scene, ro, rd, k_trace, 4, mesh)
+    )
+    single = np.asarray(trace(bd.scene, ro, rd, k_trace, 4))
+    assert shard.shape[0] == n
+    # the PATHS are identical (same ids -> same uniforms), but the
+    # sharded program is a different XLA program whose f32 FMA fusion
+    # may differ in the last bits — so: overwhelmingly bit-equal, and
+    # never beyond f32 rounding (a flipped branch would show O(1))
+    rows_equal = (shard == single).all(axis=1).mean()
+    assert rows_equal > 0.99, rows_equal
+    np.testing.assert_allclose(shard, single, rtol=2e-4, atol=2e-5)

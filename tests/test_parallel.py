@@ -32,8 +32,12 @@ def test_mesh_has_8_devices():
 
 
 def test_sharded_trace_matches_per_shard_single_device():
-    """Each shard must reproduce exactly what a single-device trace with
-    the same folded key produces — sharding changes placement, not math."""
+    """Each shard must reproduce exactly what a single-device trace of
+    the same rays produces under the same key and ids_base — sharding
+    changes placement, not math (round 4: per-shard ids_base under ONE
+    key replaced per-shard key fold-in, so the whole wavefront is also
+    invariant to the device count; see
+    test_integrator.test_sharded_render_bit_matches_unsharded)."""
     scene = _scene()
     mesh = make_mesh()
     n = 8 * 64
@@ -45,12 +49,12 @@ def test_sharded_trace_matches_per_shard_single_device():
     key = jax.random.key(7)
 
     out = np.asarray(sharded_trace(scene, ro, rd, key, 4, mesh))
-    # reference: run each shard on one device with the folded key
+    # reference: run each shard on one device with its ids_base
     per = n // 8
     for dev in range(8):
         lo, hi = dev * per, (dev + 1) * per
         expect = np.asarray(
-            trace(scene, ro[lo:hi], rd[lo:hi], jax.random.fold_in(key, dev), 4)
+            trace(scene, ro[lo:hi], rd[lo:hi], key, 4, ids_base=dev * per)
         )
         assert np.allclose(out[lo:hi], expect, atol=1e-6), f"shard {dev}"
 
