@@ -11,25 +11,26 @@ intersection and no linearity trick applies.
 The TPU-native answer is forward-mode AD.  A JVP needs no transpose, so
 — unlike reverse-mode — it differentiates straight through the
 compacted trace's dynamic-trip-count ``while_loop``; the fast forward
-path stays usable.  The backward is two replays: (1) the PRB
-color-gradient replay (render/prb.py) over all rays, whose primal side
-produces the color/texel/metal gradients and reports which rays' paths
-reach a metal/dielectric at all; (2) a radiance-only tangent replay
-over just those *touched* rays (exactly-zero fuzz/IR derivative
-otherwise; ~2% on zy), gathered to a static subset — uniforms are
-keyed by (ray id, bounce), so a gathered subset replays its paths
-bit-exactly — with ``jax.jacfwd`` pushing one batched tangent per
-active scalar (one fuzz per metal row, one IR per dielectric row) and
-a lax.cond falling back to the exact full-width tangent replay if the
-subset overflows.  The dielectric's stochastic reflect/refract branch
-is treated as fixed under differentiation (reparameterized gradient;
-the branch-probability term is dropped) — identical to what
-reverse-mode AD of the dense loop computes, so the two agree to float
-tolerance.
+path stays usable.  The full backward is: (1) color-linear gradients
+from the PRB tape sweep (render/prb_tape.py; or the path replay,
+render/prb.py, on the AD surface), whose forward also reports which
+rays' paths reach a metal/dielectric at all; (2) a radiance-only
+tangent replay over just those *touched* rays (exactly-zero fuzz/IR
+derivative otherwise; ~2% on zy), gathered to static cap-sized batches
+inside a cond-free while_loop — uniforms are keyed by (ray id,
+bounce), so a gathered subset replays its paths bit-exactly — with
+``jax.jacfwd`` pushing one batched tangent per active scalar (one fuzz
+per metal row, one IR per dielectric row).  The dielectric's
+stochastic reflect/refract branch is treated as fixed under
+differentiation (reparameterized gradient; the branch-probability term
+is dropped) — identical to what reverse-mode AD of the dense loop
+computes, so the two agree to float tolerance.
 
-``prb_radiance_all`` is the full-parameter entry point: one function,
-differentiable w.r.t. *every* scene parameter the framework exposes,
-with the compacted forward on both the primal and every replay.
+``prb_radiance_all`` is the AD-surface entry point (custom_vjp);
+``prb_loss_and_grad_all`` is the direct taped fast path (loss value +
+full-parameter gradients in one traversal plus the tangent batches),
+with a ``defer_scalars`` protocol for tiled callers to run ONE global
+tangent pass via :func:`scalar_tangent_pass`.
 """
 
 from __future__ import annotations
