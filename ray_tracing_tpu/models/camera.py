@@ -181,3 +181,17 @@ def sample_st(key, width: int, height: int, antialias: bool) -> jnp.ndarray:
         s = jnp.broadcast_to(cols / width, (height, width))
         t = jnp.broadcast_to(rows / height, (height, width))
     return jnp.stack([s.reshape(-1), t.reshape(-1)], axis=-1)
+
+
+def stamp_shutter(scene, camera: "Camera"):
+    """Stamp the camera's [time0, time1] window into ``scene.shutter``
+    when the scene has moving spheres — per-ray shutter times are
+    derived id-keyed from it inside the bounce loop (ops/rng.ray_time).
+    No-op for motionless scenes.  Every camera-having entry point
+    (render_pass, the sharded helpers) calls this; ray-level APIs
+    (trace, prb_*) read whatever ``scene.shutter`` the caller set."""
+    if scene.has_motion:
+        return scene.replace(
+            shutter=jnp.stack([camera.time0, camera.time1])
+        )
+    return scene

@@ -441,40 +441,38 @@ def intersect_scene(
             bh = bvh_traverse_triangles(scene.bvh, ro, rd, t_min, t_max)
             consider_per_ray(bh.t, bh.index, bh.mask, KIND_TRIANGLE)
         elif strategy in ("sweep", "cluster"):
+            # both kernels hardcode the (EPSILON, INF) window.  "sweep"
+            # (<= SWEEP_MAX_TRIS) gets the fixed-grid SMEM streamer;
+            # "cluster" gets the demand-fetched two-level kernel — the
+            # fixed streamer degenerates to O(rays x tris) at cluster
+            # scale (measured 8.6 s/pass vs 2.1 for the XLA cluster
+            # sweep on a 79k-tri bunny grid at 512^2 before the DMA
+            # kernel existed).  Each strategy checks its OWN
+            # eligibility: the cluster kernel's 1-D AABB tables reach
+            # ~1M triangles while the fixed kernel caps at 128k.
+            pallas_window = (
+                os.environ.get("RAY_TPU_NO_PALLAS") != "1"
+                and t_min == geo.EPSILON
+                and t_max == INF
+                and jax.default_backend() in ("tpu", "axon")
+            )
             use_tri_pallas = False
-            if os.environ.get("RAY_TPU_NO_PALLAS") != "1":
+            if pallas_window:
                 from ray_tracing_tpu.ops.pallas_triangles import (
+                    pallas_cluster_eligible,
                     pallas_cluster_sweep,
                     pallas_triangle_sweep,
                     pallas_triangles_eligible,
                 )
 
-                # both kernels hardcode the (EPSILON, INF) window.
-                # "sweep" (<= SWEEP_MAX_TRIS) gets the fixed-grid SMEM
-                # streamer; "cluster" gets the demand-fetched two-level
-                # kernel — the fixed streamer degenerates to
-                # O(rays x tris) at cluster scale (measured 8.6 s/pass
-                # vs 2.1 for the XLA cluster sweep on a 79k-tri bunny
-                # grid at 512^2 before the DMA kernel existed).
                 use_tri_pallas = (
-                    pallas_triangles_eligible(scene)
-                    and t_min == geo.EPSILON
-                    and t_max == INF
-                    and jax.default_backend() in ("tpu", "axon")
+                    pallas_cluster_eligible(scene)
+                    if strategy == "cluster"
+                    else pallas_triangles_eligible(scene)
                 )
             if use_tri_pallas and strategy == "cluster":
-                from ray_tracing_tpu.ops.pallas_triangles import (
-                    pallas_cluster_eligible,
-                )
-
-                if pallas_cluster_eligible(scene):
-                    tt, ti, tm = pallas_cluster_sweep(scene, ro, rd)
-                    consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
-                else:
-                    ct, ci, cm = _triangle_cluster_phase_a(
-                        scene, ro, rd, t_min, t_max
-                    )
-                    consider_per_ray(ct, ci, cm, KIND_TRIANGLE)
+                tt, ti, tm = pallas_cluster_sweep(scene, ro, rd)
+                consider_per_ray(tt, ti, tm, KIND_TRIANGLE)
             elif use_tri_pallas:
                 tt, ti, tm = pallas_triangle_sweep(scene, ro, rd)
                 consider_per_ray(tt, ti, tm, KIND_TRIANGLE)

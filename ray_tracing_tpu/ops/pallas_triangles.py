@@ -82,6 +82,68 @@ def pack_chunk_aabbs(tr, chunk: int = TRI_CHUNK) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=1).T.astype(jnp.float32)
 
 
+
+def _tri_sweep_body(tri_ref, ro, rd, m, base):
+    """fori_loop body: one triangle of ``tri_ref`` (component-major
+    constants, see pack_triangle_table) against the whole ray block —
+    the Moeller-Trumbore triple-product chain with the strictly-less
+    tie rule.  SHARED by the fixed-grid and cluster kernels so the
+    mask chain / tie rule can never silently diverge between them."""
+    mx, my, mz = m
+
+    def body(t, carry):
+        best_t, best_idx, found = carry
+        e12x, e12y, e12z = tri_ref[0, t], tri_ref[1, t], tri_ref[2, t]
+        e13x, e13y, e13z = tri_ref[3, t], tri_ref[4, t], tri_ref[5, t]
+        nx, ny, nz = tri_ref[6, t], tri_ref[7, t], tri_ref[8, t]
+        g1x, g1y, g1z = tri_ref[9, t], tri_ref[10, t], tri_ref[11, t]
+        g2x, g2y, g2z = tri_ref[12, t], tri_ref[13, t], tri_ref[14, t]
+        d0 = tri_ref[15, t]
+
+        det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
+        mask = jnp.abs(det) > 0.0
+        inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
+        u = inv * (
+            (mx * e13x + my * e13y + mz * e13z)
+            - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
+        )
+        mask = mask & (u >= 0.0) & (u <= 1.0)
+        v = inv * (
+            (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
+            - (mx * e12x + my * e12y + mz * e12z)
+        )
+        mask = mask & (v >= 0.0) & (u + v <= 1.0)
+        tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
+        mask = mask & (tt >= EPSILON)
+
+        better = mask & (tt < best_t)
+        best_t = jnp.where(better, tt, best_t)
+        best_idx = jnp.where(better, base + t, best_idx)
+        found = jnp.where(better, 1, found)
+        return best_t, best_idx, found
+
+    return body
+
+
+def _blocked_rays(scene, ro, rd, block):
+    """Detach + translate rays to sweep-origin space and pad/reshape
+    into (rows, 128) component planes (pad rays sit far outside every
+    AABB so they never veto a cull).  Shared launch prologue of both
+    kernels; crop outputs with [:n]."""
+    tr = scene.triangles
+    sg = jax.lax.stop_gradient
+    ro = sg(ro) - sg(tr.sw_origin)[None, :]
+    rd = sg(rd)
+    n = ro.shape[0]
+    n_pad = -(-n // block) * block
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)), constant_values=1e30)
+    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    rows = n_pad // LANES
+    comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
+    comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+    return comps, n
+
+
 def _kernel(n_tri, aabb_ref, tri_ref,
             rox, roy, roz, rdx, rdy, rdz,
             t_out, idx_out, found_out):
@@ -119,39 +181,9 @@ def _kernel(n_tri, aabb_ref, tri_ref,
         my = ro[2] * rd[0] - ro[0] * rd[2]
         mz = ro[0] * rd[1] - ro[1] * rd[0]
 
-        base = j * TRI_CHUNK
-
-        def body(t, carry):
-            best_t, best_idx, found = carry
-            e12x, e12y, e12z = tri_ref[0, t], tri_ref[1, t], tri_ref[2, t]
-            e13x, e13y, e13z = tri_ref[3, t], tri_ref[4, t], tri_ref[5, t]
-            nx, ny, nz = tri_ref[6, t], tri_ref[7, t], tri_ref[8, t]
-            g1x, g1y, g1z = tri_ref[9, t], tri_ref[10, t], tri_ref[11, t]
-            g2x, g2y, g2z = tri_ref[12, t], tri_ref[13, t], tri_ref[14, t]
-            d0 = tri_ref[15, t]
-
-            det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
-            mask = jnp.abs(det) > 0.0
-            inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
-            u = inv * (
-                (mx * e13x + my * e13y + mz * e13z)
-                - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
-            )
-            mask = mask & (u >= 0.0) & (u <= 1.0)
-            v = inv * (
-                (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
-                - (mx * e12x + my * e12y + mz * e12z)
-            )
-            mask = mask & (v >= 0.0) & (u + v <= 1.0)
-            tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
-            mask = mask & (tt >= EPSILON)
-
-            better = mask & (tt < best_t)
-            best_t = jnp.where(better, tt, best_t)
-            best_idx = jnp.where(better, base + t, best_idx)
-            found = jnp.where(better, 1, found)
-            return best_t, best_idx, found
-
+        body = _tri_sweep_body(
+            tri_ref, ro, rd, (mx, my, mz), j * TRI_CHUNK
+        )
         best = jax.lax.fori_loop(
             0, TRI_CHUNK, body, (t_out[:], idx_out[:], found_out[:])
         )
@@ -195,23 +227,10 @@ def pallas_triangle_sweep(scene, ro, rd, interpret: bool = False):
     ro, rd: (N, 3) world-space rays.  Returns (t (N,), idx (N,),
     mask (N,)).  Selection-only: inputs are detached (gradients flow
     through Phase B), mirroring _triangle_sweep_phase_a."""
-    tr = scene.triangles
-    sg = jax.lax.stop_gradient
-    ro = sg(ro) - sg(tr.sw_origin)[None, :]
-    rd = sg(rd)
-    tr_sg = jax.tree.map(sg, tr)
+    tr_sg = jax.tree.map(jax.lax.stop_gradient, scene.triangles)
     tri = pack_triangle_table(tr_sg)
     aabb = pack_chunk_aabbs(tr_sg)
-
-    n = ro.shape[0]
-    block = BLOCK_ROWS * LANES
-    n_pad = -(-n // block) * block
-    # pad rays far outside every chunk AABB so they never veto a cull
-    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)), constant_values=1e30)
-    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    rows = n_pad // LANES
-    comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
-    comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+    comps, n = _blocked_rays(scene, ro, rd, BLOCK_ROWS * LANES)
 
     t, idx, found = _run(aabb, tri, *comps, interpret=interpret)
     return (
@@ -308,39 +327,9 @@ def _cluster_kernel(n_clusters, cl_chunk,
             )
             cp.start()
             cp.wait()
-            base = k * cl_chunk
-
-            def body(t, carry):
-                best_t, best_idx, found = carry
-                e12x, e12y, e12z = tri_smem[0, t], tri_smem[1, t], tri_smem[2, t]
-                e13x, e13y, e13z = tri_smem[3, t], tri_smem[4, t], tri_smem[5, t]
-                nx, ny, nz = tri_smem[6, t], tri_smem[7, t], tri_smem[8, t]
-                g1x, g1y, g1z = tri_smem[9, t], tri_smem[10, t], tri_smem[11, t]
-                g2x, g2y, g2z = tri_smem[12, t], tri_smem[13, t], tri_smem[14, t]
-                d0 = tri_smem[15, t]
-
-                det = -(rd[0] * nx + rd[1] * ny + rd[2] * nz)
-                mask = jnp.abs(det) > 0.0
-                inv = jnp.where(mask, 1.0 / jnp.where(mask, det, 1.0), 0.0)
-                u = inv * (
-                    (mx * e13x + my * e13y + mz * e13z)
-                    - (rd[0] * g1x + rd[1] * g1y + rd[2] * g1z)
-                )
-                mask = mask & (u >= 0.0) & (u <= 1.0)
-                v = inv * (
-                    (rd[0] * g2x + rd[1] * g2y + rd[2] * g2z)
-                    - (mx * e12x + my * e12y + mz * e12z)
-                )
-                mask = mask & (v >= 0.0) & (u + v <= 1.0)
-                tt = inv * ((ro[0] * nx + ro[1] * ny + ro[2] * nz) - d0)
-                mask = mask & (tt >= EPSILON)
-
-                better = mask & (tt < best_t)
-                best_t = jnp.where(better, tt, best_t)
-                best_idx = jnp.where(better, base + t, best_idx)
-                found = jnp.where(better, 1, found)
-                return best_t, best_idx, found
-
+            body = _tri_sweep_body(
+                tri_smem, ro, rd, (mx, my, mz), k * cl_chunk
+            )
             best = jax.lax.fori_loop(
                 0, cl_chunk, body, (t_out[:], idx_out[:], found_out[:])
             )
@@ -385,14 +374,30 @@ def _run_cluster(aabb6, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret,
     )(*aabb6, tri, rox, roy, roz, rdx, rdy, rdz)
 
 
+def _auto_cl_chunk(n_triangles: int) -> int:
+    """Smallest cluster granularity whose AABB tables fit one XLA
+    T(1024) tile: finer clusters cull better (measured ranking
+    128 < 256 < 512 < 1024 at 79k tris), so grow the chunk only as the
+    mesh forces it.  An explicit RAY_TPU_CL_CHUNK wins."""
+    env = os.environ.get("RAY_TPU_CL_CHUNK", "")
+    if env:
+        return int(env)
+    t_pad = -(-n_triangles // TRI_CHUNK) * TRI_CHUNK
+    for c in (CL_CHUNK, 256, 512, TRI_CHUNK):
+        if t_pad // c <= 1024:
+            return c
+    return TRI_CHUNK
+
+
 def pallas_cluster_eligible(scene) -> bool:
     """The six 1-D cluster-AABB tables must each fit ONE XLA T(1024)
     tile (the 2-D (6, Kc) layout misindexed past 128 lanes — see
-    _cluster_kernel); beyond ~1M triangles at the default chunk the
+    _cluster_kernel).  With the auto-grown chunk (_auto_cl_chunk) that
+    caps the kernel at 1024 * TRI_CHUNK = ~1M triangles; beyond, the
     XLA cluster sweep takes over."""
     if not (scene.n_triangles > 0 and scene.triangles.has_sweep):
         return False
-    cl_chunk = int(os.environ.get("RAY_TPU_CL_CHUNK", "") or CL_CHUNK)
+    cl_chunk = _auto_cl_chunk(scene.n_triangles)
     t_pad = -(-scene.n_triangles // TRI_CHUNK) * TRI_CHUNK
     return t_pad // cl_chunk <= 1024
 
@@ -407,11 +412,7 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
     / the XLA cluster sweep (strictly-smaller t wins -> lowest global
     index on ties).  Selection-only: inputs are detached, gradients
     flow through Phase B."""
-    tr = scene.triangles
-    sg = jax.lax.stop_gradient
-    ro = sg(ro) - sg(tr.sw_origin)[None, :]
-    rd = sg(rd)
-    tr_sg = jax.tree.map(sg, tr)
+    tr_sg = jax.tree.map(jax.lax.stop_gradient, scene.triangles)
     tri = pack_triangle_table(tr_sg)
 
     if block_rows is None:
@@ -419,19 +420,10 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
             os.environ.get("RAY_TPU_CL_BLOCK_ROWS", "") or CL_BLOCK_ROWS
         )
     if cl_chunk is None:
-        cl_chunk = int(
-            os.environ.get("RAY_TPU_CL_CHUNK", "") or CL_CHUNK
-        )
+        cl_chunk = _auto_cl_chunk(scene.n_triangles)
     aabb = pack_chunk_aabbs(tr_sg, chunk=cl_chunk)
     aabb6 = tuple(aabb[i] for i in range(6))  # six contiguous (Kc,) rows
-    n = ro.shape[0]
-    block = block_rows * LANES
-    n_pad = -(-n // block) * block
-    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)), constant_values=1e30)
-    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    rows = n_pad // LANES
-    comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
-    comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+    comps, n = _blocked_rays(scene, ro, rd, block_rows * LANES)
 
     t, idx, found = _run_cluster(
         aabb6, tri, *comps, interpret=interpret, block_rows=block_rows,

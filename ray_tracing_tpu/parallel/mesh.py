@@ -24,7 +24,11 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ray_tracing_tpu.models.camera import Camera, camera_rays
+from ray_tracing_tpu.models.camera import (
+    Camera,
+    camera_rays,
+    stamp_shutter,
+)
 from ray_tracing_tpu.models.scene import SceneData
 from ray_tracing_tpu.render.integrator import trace
 
@@ -96,6 +100,7 @@ def sharded_render_pass(
     n_dev = mesh.devices.size
     n_pad = _shard_pad(n, n_dev)
 
+    scene = stamp_shutter(scene, camera)
     ro, rd, _, k_trace = camera_rays(camera, key, width, height, antialias)
     if n_pad != n:
         ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
@@ -131,6 +136,7 @@ def sharded_prb_render(
     n_dev = mesh.devices.size
     n_pad = _shard_pad(n, n_dev)
 
+    scene = stamp_shutter(scene, camera)
     ro, rd, _, k_trace = camera_rays(camera, key, width, height, True)
     if n_pad != n:
         ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
@@ -190,6 +196,7 @@ def sharded_prb_render_all(
     n_dev = mesh.devices.size
     n_pad = _shard_pad(n, n_dev)
 
+    scene = stamp_shutter(scene, camera)
     ro, rd, _, k_trace = camera_rays(camera, key, width, height, True)
     if n_pad != n:
         ro = jnp.concatenate([ro, jnp.zeros((n_pad - n, 3), jnp.float32)])
@@ -303,6 +310,7 @@ def make_prb_train_step_all_direct(
 
     @jax.jit
     def step(params, scene, key, target):
+        scene = stamp_shutter(scene, camera)
         ro, rd, _, k_trace = camera_rays(camera, key, width, height, True)
         w = jnp.ones((n,), jnp.float32)
         t_flat = target.reshape(n, 3)

@@ -186,11 +186,19 @@ def _scalar_tangent_pass(
         order = jnp.argsort(~touched, stable=True)
 
         def batch_val(theta, start):
-            sub = jax.lax.dynamic_slice_in_dim(order, start, cap)
+            # dynamic_slice CLAMPS an out-of-range start to n - cap, so
+            # compute the clamped window explicitly and mask each row by
+            # its GLOBAL position: rows before ``start`` were processed
+            # by an earlier batch, rows at/after ``count`` are fill.
+            # (Without this, a final partial batch double-counted the
+            # overlap and dropped the tail — wrong fuzz/IR gradients
+            # whenever cap did not divide the touched prefix.)
+            st = jnp.minimum(start, jnp.int32(n - cap))
+            sub = jax.lax.dynamic_slice_in_dim(order, st, cap)
             ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
             rad_s = rad[sub]
-            # rows at/after the touched count are fill, stay dead
-            alive_s = (start + jnp.arange(cap, dtype=jnp.int32)) < count
+            pos = st + jnp.arange(cap, dtype=jnp.int32)
+            alive_s = (pos >= start) & (pos < count)
 
             # default chunk division (the dense replay has none)
             kw = (

@@ -82,13 +82,9 @@ def render_pass(
     integrator.trace).
     """
     n = width * height
-    if scene.has_motion:
-        # stamp the camera's shutter window into the scene: per-ray
-        # times are derived id-keyed inside the bounce loop
-        # (ops/rng.ray_time), so nothing else changes shape
-        scene = scene.replace(
-            shutter=jnp.stack([camera.time0, camera.time1])
-        )
+    from ray_tracing_tpu.models.camera import stamp_shutter
+
+    scene = stamp_shutter(scene, camera)
     ro, rd, _time, k_trace = camera_rays(camera, key, width, height, antialias)
 
     n_tiles = -(-n // tile_size)

@@ -176,3 +176,38 @@ def test_builder_rejects_motion_with_transforms():
                  transform=(np.eye(3, dtype=np.float32) * 2.0, (0, 0, 0)))
     with pytest.raises(NotImplementedError):
         b.build()
+
+
+def test_motion_renders_identically_through_sharded_path():
+    """Regression (round-4 review): only render_pass used to stamp the
+    camera shutter into scene.shutter, so sharded renders of a motion
+    scene silently froze at t=0.  Every camera-having entry point now
+    stamps (models/camera.stamp_shutter): the sharded pass must match
+    the single-device render up to f32 fusion rounding — and must NOT
+    match a zero-shutter (frozen) render."""
+    import jax
+
+    from ray_tracing_tpu.parallel.mesh import make_mesh, sharded_render_pass
+    from ray_tracing_tpu.render.renderer import render_pass
+
+    scene = _moving_scene()
+    h, w = 16, 32
+    cam = Camera.build(_cam(0.0, 1.0), w / h)
+    key = jax.random.key(6)
+
+    img = np.asarray(render_pass(
+        scene, cam, key, width=w, height=h, max_depth=3, antialias=True,
+        tile_size=w * h,
+    ))
+    img_sh = np.asarray(sharded_render_pass(
+        scene, cam, key, width=w, height=h, max_depth=3, antialias=True,
+        mesh=make_mesh(),
+    ))
+    np.testing.assert_allclose(img_sh, img, rtol=2e-4, atol=2e-5)
+
+    frozen_cam = Camera.build(_cam(0.0, 0.0), w / h)
+    img_frozen = np.asarray(render_pass(
+        scene, frozen_cam, key, width=w, height=h, max_depth=3,
+        antialias=True, tile_size=w * h,
+    ))
+    assert np.abs(img - img_frozen).max() > 0.05, "shutter must matter"

@@ -142,7 +142,7 @@ def test_direct_taped_train_step_matches_ad_step():
     explicit psum) must produce the same update as the AD-surface step
     on the same key — the multi-chip face of the round-4 tape path.
     Width 15x15 also exercises the ray-axis padding mask (225 rays pad
-    to 232 over 8 devices)."""
+    to 256 over 8 devices — _shard_pad rounds to n_devices*8)."""
     from ray_tracing_tpu.parallel.mesh import make_prb_train_step_all_direct
     from ray_tracing_tpu.render.prb_scalar import params_of
 

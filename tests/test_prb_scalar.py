@@ -323,3 +323,53 @@ def test_direct_loss_and_grad_matches_ad_surface():
         )
     assert np.abs(np.asarray(g_dir.fuzz)).sum() > 1e-6
     assert np.abs(np.asarray(g_dir.ir)).sum() > 1e-6
+
+
+def test_tangent_batches_exact_when_cap_does_not_divide_count():
+    """Regression (round-4 review): dynamic_slice CLAMPS an
+    out-of-range batch start, so a final partial batch used to
+    double-count the overlap rows and drop the tail — wrong fuzz/IR
+    gradients whenever the touched prefix overflowed a non-dividing
+    cap.  All-touched scene, n=24, cap=16 (2 batches, second partial):
+    must equal the single-batch cap=24 result exactly."""
+    scene = _cornell()
+
+    # every ray aimed at the metal sphere (center (-0.8, 0.5, -0.8),
+    # r 0.4) with a small jitter: all 24 rays touch, and the Cornell
+    # walls give the reflections structure so the fuzz gradient is live
+    n = 24
+    rng = np.random.RandomState(3)
+    ro = jnp.asarray(np.tile([[0.0, 1.2, 1.8]], (n, 1)), jnp.float32)
+    target = np.asarray([-0.8, 0.5, -0.8]) - np.asarray([0.0, 1.2, 1.8])
+    d = target[None, :] + rng.uniform(-0.12, 0.12, (n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rd = jnp.asarray(d, jnp.float32)
+    key = jax.random.key(2)
+    params = params_of(scene)
+
+    from ray_tracing_tpu.render.prb_scalar import prb_loss_and_grad_all
+
+    def run(cap):
+        return jax.jit(
+            lambda p: prb_loss_and_grad_all(
+                jnp.sum, p, scene, ro, rd, key, 5, tangent_cap=cap
+            )
+        )(params)
+
+    l_ref, g_ref = run(24)   # one exact batch
+    l_16, g_16 = run(16)     # 2 batches, second partial (the bug case)
+    l_8, g_8 = run(8)        # 3 exact batches
+
+    assert np.abs(np.asarray(g_ref.fuzz)).sum() > 1e-6, "rays must touch"
+    np.testing.assert_allclose(float(l_16), float(l_ref), rtol=1e-7)
+    for nm, a, b16, b8 in zip(
+        AllParams._fields, g_ref, g_16, g_8
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b16), np.asarray(a), rtol=1e-5, atol=1e-10,
+            err_msg=f"{nm} cap=16",
+        )
+        np.testing.assert_allclose(
+            np.asarray(b8), np.asarray(a), rtol=1e-5, atol=1e-10,
+            err_msg=f"{nm} cap=8",
+        )
