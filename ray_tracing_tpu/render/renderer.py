@@ -176,9 +176,11 @@ class Renderer:
             self.tile_size = min(self.tile_size, 4096)
         elif strategy == "cluster":
             # same coherence argument for the cluster sweep's any-ray
-            # AABB cull: a narrow tile visits fewer clusters (measured
-            # on the 79k-tri bunny grid at 512^2: 2.88 s/pass at 2048
-            # vs 3.53 at 65536)
+            # AABB cull (XLA-sweep era: 2.88 s/pass at 2048 vs 3.53 at
+            # 65536 on the 79k bunny grid).  Under the Pallas cluster
+            # kernel the cull is per 2048-ray BLOCK, so the tile size
+            # is ~flat (re-measured round 4: 1.34/1.35/1.35 s at
+            # 2048/4096/8192); keep 2048 for the XLA fallback's sake.
             self.tile_size = min(self.tile_size, 2048)
         self.max_depth = param.max_depth if param.max_depth is not None else 20
         self.antialias = param.antialias if param.antialias is not None else True
