@@ -421,6 +421,25 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
         )
     if cl_chunk is None:
         cl_chunk = _auto_cl_chunk(scene.n_triangles)
+    # validate an explicit cl_chunk (parameter or RAY_TPU_CL_CHUNK env):
+    # it must divide TRI_CHUNK so the padded table tiles exactly, and
+    # the resulting cluster count must fit ONE 1024-element table row —
+    # a direct caller could otherwise re-enter the >1024-cluster SMEM
+    # misindex regime the 1-D-table design guards against.
+    if TRI_CHUNK % cl_chunk != 0:
+        raise ValueError(
+            f"cl_chunk={cl_chunk} must divide TRI_CHUNK={TRI_CHUNK} "
+            "(set via pallas_cluster_sweep(cl_chunk=) or RAY_TPU_CL_CHUNK)"
+        )
+    t_pad = -(-scene.n_triangles // TRI_CHUNK) * TRI_CHUNK
+    if t_pad // cl_chunk > 1024:
+        raise ValueError(
+            f"cl_chunk={cl_chunk} yields {t_pad // cl_chunk} clusters "
+            f"for {scene.n_triangles} triangles; the six cluster-AABB "
+            "tables hold at most 1024 entries each (one XLA tile — "
+            "2-D SMEM operands misindex past 128 lanes on real TPU). "
+            "Use a coarser cl_chunk or the XLA cluster sweep."
+        )
     aabb = pack_chunk_aabbs(tr_sg, chunk=cl_chunk)
     aabb6 = tuple(aabb[i] for i in range(6))  # six contiguous (Kc,) rows
     comps, n = _blocked_rays(scene, ro, rd, block_rows * LANES)

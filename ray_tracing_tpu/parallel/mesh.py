@@ -48,10 +48,11 @@ def _pad_to(n: int, mult: int) -> int:
 
 
 def _shard_pad(n: int, n_dev: int) -> int:
-    """Pad the ray axis so every shard's count is a multiple of 8 —
-    the compacted loop's chunk-divisor granularity
-    (integrator.default_chunk_div); padded rays are cropped or carry
-    weight 0 downstream."""
+    """Pad the ray axis so every shard's count is a multiple of 8;
+    integrator.default_chunk_div then picks a chunk divisor that
+    divides the shard exactly (it returns a true divisor of n, so odd
+    shard sizes like 73736 are fine).  Padded rays are cropped or
+    carry weight 0 downstream."""
     return _pad_to(n, n_dev * 8)
 
 
@@ -65,7 +66,9 @@ def sharded_trace(scene: SceneData, ro, rd, key, max_depth: int, mesh: Mesh):
 
     def shard_fn(scene, ro_s, rd_s, key):
         # ONE key + per-shard ids_base: the image is independent of the
-        # device count and bit-matches the unsharded trace (tests) —
+        # device count and matches the unsharded trace to f32 fusion
+        # rounding (paths/uniforms identical; >99% of pixels bit-equal
+        # — the sharded XLA program fuses FMAs differently; tests) —
         # sharding is an execution strategy, like tiling / compaction
         dev = jax.lax.axis_index(RAY_AXIS)
         return trace(scene, ro_s, rd_s, key, max_depth,

@@ -40,11 +40,28 @@ from ray_tracing_tpu.ops.rng import ray_uniforms
 
 def _shutter_times(scene: SceneData, key, ids):
     """Per-ray shutter times for motion-blur scenes, id-keyed so no
-    carry is needed (ops/rng.ray_time); None when nothing moves."""
+    carry is needed (ops/rng.ray_time); None when nothing moves.
+
+    Ray-level entry points (trace, prb_*) read whatever
+    ``scene.shutter`` the caller set; camera-having entry points stamp
+    it (models/camera.stamp_shutter).  A motion scene with NO shutter
+    set is almost always a caller forgetting the stamp — e.g. fitting
+    a frozen forward against motion-blurred targets — so it warns
+    (once per trace) before defaulting to the frozen t=0 window."""
     if not scene.has_motion:
         return None
     from ray_tracing_tpu.ops.rng import ray_time
 
+    if scene.shutter is None:
+        import warnings
+
+        warnings.warn(
+            "scene has moving spheres but scene.shutter is None: rays "
+            "are traced at the frozen t=0 position.  Stamp the camera "
+            "window first (models/camera.stamp_shutter) or set "
+            "scene.shutter explicitly.",
+            stacklevel=3,
+        )
     shutter = (
         scene.shutter
         if scene.shutter is not None
@@ -173,10 +190,18 @@ def stage_schedule(max_depth: int, stage_bounces: int) -> list:
 def default_chunk_div(n: int) -> int:
     """Compaction chunk divisor: keep chunks at ~8192 rays (measured
     best at 1024²: chunk 8192 beat 2048 and 16384) while never going
-    below 8 chunks per tile.  Shared by trace_compacted and the PRB
-    replay — the two MUST agree for path replay to reproduce the
-    forward."""
-    return max(8, n // 8192)
+    below 8 chunks per tile.  Always a DIVISOR of ``n`` — the largest
+    one not exceeding the ~8192-ray target — so any multiple-of-8 ray
+    count (parallel/mesh._shard_pad's guarantee) satisfies the
+    compacted loop's divisibility requirement, e.g. a 73736-ray shard
+    gets 8 chunks of 9217 instead of tripping the n % 9 assert.
+    Shared by trace_compacted and the PRB replay — the two MUST agree
+    for path replay to reproduce the forward."""
+    target = max(8, n // 8192)
+    for d in range(target, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
 
 
 def bounded_bounce_loop(bounces: int, body, carry, alive_of):
