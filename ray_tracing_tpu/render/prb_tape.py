@@ -279,11 +279,24 @@ def trace_taped(
 def _accum_rows(scene, gacc, leaf, texel, mat, flags, c, rad_after,
                 g_s, tot_s, has_images):
     """One tape row block -> the three accumulators (identical masks
-    and merge order to prb._prb_bounce's accumulate block)."""
+    and merge order to prb._prb_bounce's accumulate block).
+
+    Accepts either flat per-ray blocks (leaf (C,), c (C, 3), g_s
+    (C, 3)) or bounce-vectorized blocks (leaf (B, C), c (B, C, 3),
+    g_s (C, 3) broadcast over the bounce axis); vectorized blocks are
+    flattened to B*C rows so the whole stage feeds ONE one-hot matmul
+    / scatter call instead of one per bounce (the per-call dispatch
+    dominated the sweep: 140 -> ~60 ms/pass at 1024²)."""
     gcol, gimg, gmet = gacc
     suffix = tot_s - rad_after
-    scale = jnp.where((flags & F_SUFFIX)[:, None] != 0, suffix, 1.0)
+    scale = jnp.where((flags & F_SUFFIX)[..., None] != 0, suffix, 1.0)
     contrib = g_s * c * scale
+    if leaf.ndim == 2:  # bounce-vectorized: flatten to rows
+        rows = leaf.shape[0] * leaf.shape[1]
+        leaf, texel, mat, flags = (
+            x.reshape(rows) for x in (leaf, texel, mat, flags)
+        )
+        contrib = contrib.reshape(rows, 3)
     gcol = _one_hot_add(gcol, leaf, contrib, (flags & F_SOLID) != 0)
     if has_images:
         gimg = _gimg_add(gimg, texel, contrib, (flags & F_IMAGE) != 0)
@@ -302,56 +315,60 @@ def tape_sweep(
     chunk_div: int | None = None,
 ):
     """Accumulate (gcol, gimg_planar, gmet) from the tape.  No
-    traversal: elementwise + one-hot matmuls + the Pallas scatter,
-    walking the same chunk schedule the forward ran (live chunks
-    only).  ``rad_total``/``g`` are in ORIGINAL ray order."""
+    traversal: elementwise + one-hot matmuls + the Pallas scatter.
+    ``rad_total``/``g`` are in ORIGINAL ray order.
+
+    Cost structure (round-5 interleaved A/Bs at 1024²): the sweep's
+    price is per-call dispatch and the per-stage permutation gathers,
+    NOT the accumulation math, so each stage processes ALL its bounces
+    in one vectorized block.  Stage 0's layout is the identity (no
+    gather), and later stages gather ``[g | rad_total]`` fused as one
+    (n, 6) row gather (random-index gathers ride the scalar core —
+    CLAUDE.md hazard 4 — so halving the gather count matters).  Live
+    chunk gating walks the forward's chunk schedule in ray-axis chunks
+    only (bounces stay vectorized)."""
     n = g.shape[0]
     if chunk_div is None:
         chunk_div = default_chunk_div(n)
     chunk = n // chunk_div
     has_images = scene.textures.images.shape[0] > 0
     gacc = _zero_grads(scene)
+    gt = jnp.concatenate([g, rad_total], axis=1)  # fused gather source
 
     offset = 0
     for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
-        ids_s = tape.stage_ids[stage]
-        g_s = g[ids_s]
-        tot_s = rad_total[ids_s]
+        row_sl = lambda t, _o=offset, _b=bounces: jax.lax.slice_in_dim(
+            t, _o, _o + _b, axis=0
+        )
+        stage_rows = (
+            row_sl(tape.leaf), row_sl(tape.texel), row_sl(tape.mat),
+            row_sl(tape.flags), row_sl(tape.c), row_sl(tape.rad_after),
+        )
         if stage == 0:
-            def body0(b, gacc, _offset=offset):
-                s = _offset + b
-                return _accum_rows(
-                    scene, gacc, tape.leaf[s], tape.texel[s], tape.mat[s],
-                    tape.flags[s], tape.c[s], tape.rad_after[s],
-                    g_s, tot_s, has_images,
-                )
-
-            gacc = jax.lax.fori_loop(0, bounces, body0, gacc)
+            # stage 0 runs in input order: no gather needed
+            gacc = _accum_rows(
+                scene, gacc, *stage_rows, g, rad_total, has_images
+            )
             offset += bounces
             continue
 
+        ids_s = tape.stage_ids[stage]
+        gt_s = gt[ids_s]
+        g_s, tot_s = gt_s[:, :3], gt_s[:, 3:]
         alive_count = tape.alive_counts[stage]
 
-        def chunk_body(state, _offset=offset, _bounces=bounces,
-                       _g_s=g_s, _tot_s=tot_s):
+        def chunk_body(state, _rows=stage_rows, _g_s=g_s, _tot_s=tot_s):
             ci, gacc = state
             start = ci * chunk
-            g_c = jax.lax.dynamic_slice_in_dim(_g_s, start, chunk, 0)
-            tot_c = jax.lax.dynamic_slice_in_dim(_tot_s, start, chunk, 0)
-
-            def bodyb(b, gacc):
-                s = _offset + b
-                row = lambda t: jax.lax.dynamic_slice_in_dim(
-                    jax.lax.dynamic_index_in_dim(t, s, 0, False),
-                    start, chunk, 0,
-                )
-                return _accum_rows(
-                    scene, gacc, row(tape.leaf), row(tape.texel),
-                    row(tape.mat), row(tape.flags), row(tape.c),
-                    row(tape.rad_after), g_c, tot_c, has_images,
-                )
-
-            gacc = jax.lax.fori_loop(0, _bounces, bodyb, gacc)
+            ray_sl = lambda t: jax.lax.dynamic_slice_in_dim(
+                t, start, chunk, axis=1
+            )
+            gacc = _accum_rows(
+                scene, gacc, *(ray_sl(t) for t in _rows),
+                jax.lax.dynamic_slice_in_dim(_g_s, start, chunk, 0),
+                jax.lax.dynamic_slice_in_dim(_tot_s, start, chunk, 0),
+                has_images,
+            )
             return ci + 1, gacc
 
         def chunk_cond(state, _alive_count=alive_count):
