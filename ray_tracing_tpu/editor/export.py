@@ -38,6 +38,8 @@ def _texture_def(doc: Document, names: Dict[UUID, str], key: UUID) -> Dict[str, 
         }
     if kind == "noise":
         return {"type": "noise", "scale": float(values[0]), "depth": int(values[1])}
+    if kind == "image":
+        return {"type": "image", "file": str(values[0])}
     raise ValueError(f"texture kind {kind!r} has no CLI-schema equivalent")
 
 
@@ -91,6 +93,35 @@ def _shape_def(shape) -> Dict[str, Any]:
         v = list(map(float, values))
         return {"type": "triangle",
                 "vertices": [v[0:3], v[3:6], v[6:9]]}
+    if kind == "moving-sphere":
+        return {
+            "type": "moving-sphere",
+            "center0": list(map(float, values[0:3])),
+            "center1": list(map(float, values[3:6])),
+            "radius": float(values[6]),
+            "time0": float(values[7]), "time1": float(values[8]),
+        }
+    if kind == "mesh":
+        d: Dict[str, Any] = {"type": "mesh", "file": str(values[0])}
+        if values[1]:
+            d["model"] = str(values[1])
+        return d
+    if kind == "constant-medium-sphere":
+        return {
+            "type": "constant-medium",
+            "shape": {"type": "sphere",
+                      "center": list(map(float, values[0:3])),
+                      "radius": float(values[3])},
+            "density": float(values[4]),
+        }
+    if kind == "constant-medium-cuboid":
+        return {
+            "type": "constant-medium",
+            "shape": {"type": "cuboid",
+                      "p0": list(map(float, values[0:3])),
+                      "p1": list(map(float, values[3:6]))},
+            "density": float(values[6]),
+        }
     raise ValueError(f"shape kind {kind!r} has no CLI-schema equivalent")
 
 

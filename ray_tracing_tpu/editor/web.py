@@ -39,6 +39,7 @@ from ray_tracing_tpu.editor.project import document_from_json, document_to_json
 from v4ray_frontend_tpu.properties import (
     ColorProperty,
     FloatProperty,
+    StringProperty,
     TextureProperty,
 )
 
@@ -52,6 +53,8 @@ def _prop_meta(prop) -> Dict[str, Any]:
                 "default": "#%02x%02x%02x" % tuple(prop.default)}
     if isinstance(prop, TextureProperty):
         return {"kind": "texture", "name": prop.name}
+    if isinstance(prop, StringProperty):
+        return {"kind": "string", "name": prop.name, "default": prop.default}
     return {"kind": "unknown", "name": getattr(prop, "name", "?")}
 
 
@@ -385,6 +388,8 @@ function formFor(kindMap, current, onApply, texOptions) {
           `<option value="${k}">${n}</option>`).join('');
       } else if (p.kind === 'color') {
         inp = document.createElement('input'); inp.type = 'color'; inp.value = p.default;
+      } else if (p.kind === 'string') {
+        inp = document.createElement('input'); inp.value = p.default ?? '';
       } else {
         inp = document.createElement('input'); inp.value = p.default ?? 0;
       }
@@ -401,6 +406,7 @@ function formFor(kindMap, current, onApply, texOptions) {
         const v = inp.value;
         return [parseInt(v.slice(1,3),16), parseInt(v.slice(3,5),16), parseInt(v.slice(5,7),16)];
       }
+      if (inp.dataset.pkind === 'string') return inp.value;
       return parseFloat(inp.value);
     });
     onApply(kind, values);

@@ -98,6 +98,50 @@ def test_registries_meta(server):
     ]
     assert "lambertian" in regs["materials"]
     assert "perspective" in regs["cameras"]
+    # round-5 plugins: image/mesh/constant-medium with string fields
+    assert regs["textures"]["image"][0]["kind"] == "string"
+    assert {"mesh", "constant-medium-sphere",
+            "constant-medium-cuboid"} <= regs["shapes"].keys()
+    assert [p["kind"] for p in regs["shapes"]["mesh"]] == [
+        "string", "string",
+    ]
+
+
+def test_mesh_object_via_api(server, tmp_path):
+    """A mesh node set through the HTTP API round-trips string values
+    and joins the rendered set once its material is wired."""
+    obj_path = tmp_path / "tri.obj"
+    obj_path.write_text("v 0 0 -3\nv 1 0 -3\nv 0 1 -3\nf 1 2 3\n")
+
+    state = _get(server + "/api/state")
+    _post(server + "/api/edit", {"action": "add_object", "name": "mesh node"})
+    state = _get(server + "/api/state")
+    key = next(k for k, v in state["document"]["objects"].items()
+               if v["name"] == "mesh node")
+    tex = next(iter(state["document"]["textures"]))
+    _post(server + "/api/edit", {"action": "add_material", "name": "mm"})
+    state = _get(server + "/api/state")
+    mat = next(k for k, v in state["document"]["materials"].items()
+               if v["name"] == "mm")
+    _post(server + "/api/edit",
+          {"action": "set_material", "key": mat, "kind": "lambertian",
+           "values": [{"uuid": tex}]})
+    _post(server + "/api/edit",
+          {"action": "set_shape", "key": key,
+           "kind": "mesh", "values": [str(obj_path), ""]})
+    state = _post(server + "/api/edit",
+                  {"action": "set_object", "key": key, "material": mat,
+                   "visible": True})
+    assert "error" not in state
+    assert state["values"]["objects"][key] == {
+        "kind": "mesh", "values": [str(obj_path), ""]
+    }
+    assert key in state["analysis"]["rendered_objects"]
+    # a bad path drops the node from the rendered set
+    state = _post(server + "/api/edit",
+                  {"action": "set_shape", "key": key,
+                   "kind": "mesh", "values": ["/nope.obj", ""]})
+    assert key not in state["analysis"]["rendered_objects"]
 
 
 def test_editor_project_roundtrip_via_api(server):

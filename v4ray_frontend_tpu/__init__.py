@@ -16,7 +16,10 @@ from v4ray_frontend_tpu.material import (
     Metal,
 )
 from v4ray_frontend_tpu.shape import (
+    ConstantMediumCuboid,
+    ConstantMediumSphere,
     Cuboid,
+    Mesh,
     MovingSphere,
     ShapeType,
     Sphere,
@@ -25,12 +28,19 @@ from v4ray_frontend_tpu.shape import (
     YZRect,
     ZXRect,
 )
-from v4ray_frontend_tpu.texture import Checker, Noise, SolidColor, TextureType
+from v4ray_frontend_tpu.texture import (
+    Checker,
+    Image,
+    Noise,
+    SolidColor,
+    TextureType,
+)
 
 shapes: List[Type[ShapeType]] = [
-    Sphere, MovingSphere, XYRect, YZRect, ZXRect, Cuboid, Triangle
+    Sphere, MovingSphere, XYRect, YZRect, ZXRect, Cuboid, Triangle,
+    Mesh, ConstantMediumSphere, ConstantMediumCuboid,
 ]
-textures: List[Type[TextureType]] = [SolidColor, Checker, Noise]
+textures: List[Type[TextureType]] = [SolidColor, Checker, Image, Noise]
 materials: List[Type[MaterialType]] = [
     Lambertian, Metal, Dielectric, DiffuseLight, Isotropic
 ]

@@ -24,6 +24,7 @@ Codecs (editor value -> JSON value):
               (absent key reads as ``True``)
 * ``hex``     ``(r, g, b)`` 0-255 ints, ``"#rrggbb"`` string in the JSON
 * ``uuid``    :class:`uuid.UUID` reference or None; None omits the key
+* ``string``  text kept as-is (absent key reads as ``""``)
 """
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ _CODECS: Dict[str, Tuple[Callable, Callable, Any]] = {
         lambda j: None if j is None else UUID(j),
         None,
     ),
+    "string": (lambda v: str(v), lambda j: str(j), ""),
 }
 
 
@@ -102,7 +104,20 @@ class TextureProperty:
     check: Optional[Callable[[Any], bool]] = None
 
 
-AnyProperty = Union[FloatProperty, ColorProperty, TextureProperty]
+@dataclass(frozen=True)
+class StringProperty:
+    """Free-text form field (file paths, model names)."""
+
+    name: str
+    default: str = ""
+    slot: Slot = None
+    codec: str = "string"
+    check: Optional[Callable[[Any], bool]] = None
+
+
+AnyProperty = Union[
+    FloatProperty, ColorProperty, TextureProperty, StringProperty
+]
 
 
 def pack(fields: Sequence[AnyProperty], values: Sequence[Any]) -> Dict[str, Any]:
@@ -185,6 +200,8 @@ def fields_valid(fields: Sequence[AnyProperty], values: Sequence[Any]) -> bool:
             )
         if isinstance(f, TextureProperty):
             return v is None or isinstance(v, UUID)
+        if isinstance(f, StringProperty):
+            return isinstance(v, str)
         return True
 
     def ok(f, v):

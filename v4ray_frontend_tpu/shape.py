@@ -9,15 +9,18 @@ expressed through field slots/codecs."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import v4ray_tpu as v4ray
 from v4ray_frontend_tpu.plugin import ShapeType
-from v4ray_frontend_tpu.properties import FloatProperty
+from v4ray_frontend_tpu.properties import FloatProperty, StringProperty
 
 __all__ = [
     "ShapeType", "Sphere", "MovingSphere", "XYRect", "YZRect", "ZXRect",
-    "Cuboid", "Triangle",
+    "Cuboid", "Triangle", "Mesh", "ConstantMediumSphere",
+    "ConstantMediumCuboid",
 ]
 
 
@@ -116,6 +119,84 @@ class Cuboid(ShapeType):
     @classmethod
     def apply(cls, data):
         return [v4ray.shape.Cuboid(data[0:3], data[3:6])]
+
+
+class Mesh(ShapeType):
+    """OBJ mesh by file path (backend + CLI-schema shape the reference
+    editor never surfaced — reference src/json.rs:89-103 accepts
+    ``{"type": "mesh", "file": ..., "model": ...}`` but v4ray_frontend
+    registers only Sphere).  ``model`` selects a named object inside
+    the OBJ; empty = the whole file.  Validation requires the file to
+    exist so a bad path reads as an invalid node instead of a
+    render-time crash."""
+
+    KIND = "mesh"
+    FIELDS = (
+        StringProperty("file (.obj)", slot="file",
+                       check=lambda v: bool(str(v).strip())),
+        StringProperty("model (optional)", slot="model"),
+    )
+
+    @classmethod
+    def rule(cls, data):
+        return os.path.isfile(data[0])
+
+    @classmethod
+    def apply(cls, data):
+        return [v4ray.shape.Mesh(data[0], data[1] or None)]
+
+
+class ConstantMediumSphere(ShapeType):
+    """Constant-density participating medium with a spherical boundary
+    (reference src/hittable/constant_medium.rs; json.rs accepts a
+    nested boundary shape).  The declarative field tables are flat, so
+    the editor surfaces the two common boundary families as dedicated
+    plugins (sphere here, cuboid below); other boundaries (rect,
+    triangle, mesh) remain CLI-schema-only.  Pair with an Isotropic
+    material for the classic smoke ball."""
+
+    KIND = "constant-medium-sphere"
+    FIELDS = (
+        FloatProperty("center x", slot=("center",)),
+        FloatProperty("center y", slot=("center",)),
+        FloatProperty("center z", slot=("center",)),
+        FloatProperty("radius", default=1.0, slot="radius",
+                      check=lambda v: float(v) > 0),
+        FloatProperty("density", default=1.0, slot="density",
+                      check=lambda v: float(v) > 0),
+    )
+
+    @classmethod
+    def apply(cls, data):
+        return [v4ray.shape.ConstantMedium(
+            v4ray.shape.Sphere(tuple(data[0:3]), data[3]), data[4]
+        )]
+
+
+class ConstantMediumCuboid(ShapeType):
+    """Constant-density medium with a cuboid boundary (the reference
+    book's smoke boxes).  See ConstantMediumSphere."""
+
+    KIND = "constant-medium-cuboid"
+    FIELDS = tuple(
+        FloatProperty(f"{corner} {axis}", default=d, slot=(corner,))
+        for corner, d in (("p0", 0.0), ("p1", 1.0))
+        for axis in "xyz"
+    ) + (
+        FloatProperty("density", default=1.0, slot="density",
+                      check=lambda v: float(v) > 0),
+    )
+
+    @classmethod
+    def rule(cls, data):
+        return all(float(lo) < float(hi)
+                   for lo, hi in zip(data[0:3], data[3:6]))
+
+    @classmethod
+    def apply(cls, data):
+        return [v4ray.shape.ConstantMedium(
+            v4ray.shape.Cuboid(data[0:3], data[3:6]), data[6]
+        )]
 
 
 class Triangle(ShapeType):

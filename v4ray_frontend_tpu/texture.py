@@ -7,16 +7,19 @@ keys (``color`` hex string, ``texture1``/``texture2`` UUID refs,
 
 from __future__ import annotations
 
+import os
+
 import v4ray_tpu as v4ray
 from v4ray_frontend_tpu.plugin import TextureType
 from v4ray_frontend_tpu.properties import (
     ColorProperty,
     FloatProperty,
+    StringProperty,
     TextureProperty,
     rgb01,
 )
 
-__all__ = ["TextureType", "SolidColor", "Checker", "Noise"]
+__all__ = ["TextureType", "SolidColor", "Checker", "Image", "Noise"]
 
 
 class SolidColor(TextureType):
@@ -41,6 +44,31 @@ class Checker(TextureType):
     def apply(cls, data, textures):
         return v4ray.texture.Checker(textures[data[0]], textures[data[1]],
                                      data[2])
+
+
+class Image(TextureType):
+    """Image-mapped texture by file path (backend + CLI-schema type the
+    reference editor never surfaced — reference src/json.rs:147-155
+    accepts ``{"type": "image", "file": ...}`` but v4ray_frontend
+    registers no Image plugin).  Validation requires the file to exist
+    so a bad path reads as an invalid node in the editor instead of a
+    render-time crash; the path is stored as typed (absolute or
+    relative to the editor's working directory), matching the CLI
+    loader's treatment of scene-JSON ``file`` keys."""
+
+    KIND = "image"
+    FIELDS = (
+        StringProperty("file", slot="file",
+                       check=lambda v: bool(str(v).strip())),
+    )
+
+    @classmethod
+    def rule(cls, data):
+        return os.path.isfile(data[0])
+
+    @classmethod
+    def apply(cls, data, textures):
+        return v4ray.texture.Image(data[0])
 
 
 class Noise(TextureType):
