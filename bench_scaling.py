@@ -21,6 +21,21 @@ is the rays/s/device retention.  Run it
 Prints one JSON line per device count and a final summary line:
   {"metric": "scaling efficiency 1->K devices", "value": eff, ...}
 
+On a CONTENDED host (virtual CPU devices sharing cores) the raw
+per-device retention conflates host contention with real sharding
+overhead.  The discriminator (--unsharded-baseline, default on) times
+the SAME total ray load unsharded on one device for every k: both
+programs see the same contended host, so
+
+    sharding_overhead(k) = t_sharded(k devices, n rays)
+                         / t_unsharded(1 device, n rays)
+
+isolates the cost of the sharding machinery itself (shard_map
+partitioning, the psum, per-shard compaction loss) from "the cores are
+busy".  ~1.0 means the sharded program costs nothing over the ideal
+single-program run of the same work; the BASELINE.md >=85% ICI target
+remains a real-multi-chip number.
+
 Reference analogue: the rayon per-worker replication loop
 (reference src/main.rs:39-63) — its scaling story is measured the same
 way, samples/worker constant.
@@ -42,6 +57,8 @@ def main():
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--force-cpu", action="store_true",
                     help="force CPU with 8 virtual devices")
+    ap.add_argument("--no-unsharded-baseline", action="store_true",
+                    help="skip the same-total-work unsharded timing")
     args = ap.parse_args()
 
     if args.force_cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -159,7 +176,7 @@ def main():
         rays_per_s = total_segments / dt
         per_dev = rays_per_s / k
         results[k] = per_dev
-        print(json.dumps({
+        rec = {
             "metric": f"sharded fwd+bwd rays/s ({k} devices)",
             "value": rays_per_s,
             "unit": "rays/s",
@@ -167,7 +184,32 @@ def main():
             "devices": k,
             "segments_per_pass": total_segments / args.passes,
             "primary_rays_per_pass": n,
-        }))
+        }
+
+        if not args.no_unsharded_baseline:
+            # same TOTAL work, no sharding, one device: both programs
+            # fight for the same host cores, so the ratio isolates the
+            # sharding machinery from host contention
+            @jax.jit
+            def fwd_bwd_unsharded(colors, key):
+                def loss(c):
+                    rad = prb_radiance(c, scene, ro, rd, key, args.depth)
+                    return jnp.sum(rad) / n
+
+                return jax.value_and_grad(loss)(colors)
+
+            l, g = fwd_bwd_unsharded(colors, jax.random.key(0))
+            float(l)
+            t0 = time.perf_counter()
+            outs = [fwd_bwd_unsharded(colors, jax.random.key(i))
+                    for i in range(1, args.passes + 1)]
+            np.asarray(outs[-1][0])
+            dt_u = time.perf_counter() - t0
+            rec["unsharded_same_work_s"] = dt_u / args.passes
+            rec["sharded_s"] = dt / args.passes
+            rec["sharding_overhead"] = dt / dt_u
+
+        print(json.dumps(rec))
         sys.stdout.flush()
 
     if len(results) > 1:
