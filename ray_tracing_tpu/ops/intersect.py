@@ -423,7 +423,7 @@ def intersect_scene(
             and jax.default_backend() in ("tpu", "axon")
         )
     if use_pallas:
-        pt, pkind, pidx = pallas_phase_a(scene, ro, rd)
+        pt, pkind, pidx = pallas_phase_a(scene, ro, rd, t_ray)
         better = (pkind >= 0) & (pt < best_t)
         best_t = jnp.where(better, pt, best_t)
         best_kind = jnp.where(better, pkind, best_kind)

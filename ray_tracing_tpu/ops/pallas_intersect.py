@@ -113,14 +113,25 @@ def _rect_block(ro, rd, basis, bounds, t_min, best, nrm=None):
     return best_t, best_kind, best_idx
 
 
-def _kernel(n_spheres, n_rects, sph_tf, rect_tf,
-            sph_ref, rect_ref,
-            rox, roy, roz, rdx, rdy, rdz,
-            t_out, kind_out, idx_out):
+def _kernel(n_spheres, n_rects, sph_tf, rect_tf, sph_motion,
+            *refs):
     """sph_tf / rect_tf are STATIC flags: when set, every row of the
     table carries [inv(9), inv_t(3)] after its base columns (identity
     for slot-0 prims — same uniform treatment as the XLA path when a
-    table has any transform) and the prim is tested in object space."""
+    table has any transform) and the prim is tested in object space.
+    ``sph_motion`` (static; mutually exclusive with sph_tf — the
+    builder forbids mixing, models/compiler.py) adds a per-ray shutter
+    time block and [vx vy vz] sphere columns: each sphere is tested at
+    its ray-specific center c + t_ray * v (the in-kernel mirror of
+    intersect._sphere_phase_a's motion branch)."""
+    if sph_motion:
+        (sph_ref, rect_ref, rox, roy, roz, rdx, rdy, rdz, tray_ref,
+         t_out, kind_out, idx_out) = refs
+        tray = tray_ref[:]
+    else:
+        (sph_ref, rect_ref, rox, roy, roz, rdx, rdy, rdz,
+         t_out, kind_out, idx_out) = refs
+        tray = None
     ro = (rox[:], roy[:], roz[:])
     rd = (rdx[:], rdy[:], rdz[:])
     shape = ro[0].shape
@@ -137,9 +148,14 @@ def _kernel(n_spheres, n_rects, sph_tf, rect_tf,
             )
         else:
             ro_o, rd_o, nrm = ro, rd, None
+        center = (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2])
+        if sph_motion:
+            center = tuple(
+                center[j] + tray * sph_ref[s, 4 + j] for j in range(3)
+            )
         best_t, best_kind, best_idx = _sphere_block(
             ro_o, rd_o,
-            (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]),
+            center,
             sph_ref[s, 3],
             EPSILON,
             (best_t, best_kind, best_idx, s),
@@ -184,10 +200,15 @@ def pack_primitive_tables(scene: SceneData):
 
     sp = scene.spheres
     sph = jnp.concatenate([sp.center, sp.radius[:, None]], axis=1)
+    assert not (sp.has_transforms and sp.has_motion), (
+        "builder forbids mixing moving and transformed spheres"
+    )
     if sp.has_transforms:
         inv = scene.transforms.inv[sp.transform].reshape(-1, 9)
         inv_t = scene.transforms.inv_t[sp.transform]
         sph = jnp.concatenate([sph, inv, inv_t], axis=1)
+    elif sp.has_motion:
+        sph = jnp.concatenate([sph, sp.vel], axis=1)
     rc = scene.rects
     # rc.axis is traced under jit (the scene is a jit argument); the
     # RECT_* basis tables are host numpy, so index via jnp
@@ -217,48 +238,51 @@ def pack_primitive_tables(scene: SceneData):
 
 def pallas_eligible(scene: SceneData) -> bool:
     """The kernel covers ALL analytic primitives — spheres and rects,
-    transformed or not (constant media live in their own table,
-    ops/intersect.py:_medium_phase_a, so they never block
-    eligibility).  Motion-blur scenes take the XLA path: the kernel
-    has no per-ray shutter-time input."""
-    return (scene.n_spheres + scene.n_rects) > 0 and not (
-        scene.n_spheres and scene.spheres.has_motion
-    )
+    transformed or not, moving or not (constant media live in their
+    own table, ops/intersect.py:_medium_phase_a, so they never block
+    eligibility).  Motion-blur scenes pass the per-ray shutter time as
+    an extra ray block (round 5; they previously fell back to XLA)."""
+    return (scene.n_spheres + scene.n_rects) > 0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_spheres", "n_rects", "sph_tf", "rect_tf", "interpret"),
+    static_argnames=("n_spheres", "n_rects", "sph_tf", "rect_tf",
+                     "sph_motion", "interpret"),
 )
-def _run(sph, rect, rox, roy, roz, rdx, rdy, rdz, *, n_spheres, n_rects,
-         sph_tf, rect_tf, interpret):
-    rows = rox.shape[0]
+def _run(sph, rect, *ray_comps, n_spheres, n_rects,
+         sph_tf, rect_tf, sph_motion, interpret):
+    rows = ray_comps[0].shape[0]
     grid = (rows // BLOCK_ROWS,)
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     out_shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    kernel = functools.partial(_kernel, n_spheres, n_rects, sph_tf, rect_tf)
+    kernel = functools.partial(_kernel, n_spheres, n_rects, sph_tf, rect_tf,
+                               sph_motion)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-        ],
+        ] + [ray_spec] * len(ray_comps),
         out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=[out_shape, out_shape_i, out_shape_i],
         interpret=interpret,
-    )(sph, rect, rox, roy, roz, rdx, rdy, rdz)
+    )(sph, rect, *ray_comps)
 
 
-def pallas_phase_a(scene: SceneData, ro, rd, interpret: bool = False):
+def pallas_phase_a(scene: SceneData, ro, rd, t_ray=None,
+                   interpret: bool = False):
     """Nearest analytic-primitive candidate per ray via the Pallas sweep.
 
-    ro, rd: (N, 3).  Returns (t (N,), kind (N,), idx (N,)) with kind -1
-    on miss.  N is padded internally to a block multiple.
+    ro, rd: (N, 3); ``t_ray``: optional (N,) per-ray shutter times for
+    motion-blur scenes (None on a motion scene tests the frozen t=0
+    positions, matching the XLA phase's t_ray=None behavior).  Returns
+    (t (N,), kind (N,), idx (N,)) with kind -1 on miss.  N is padded
+    internally to a block multiple.
     """
     # Selection is discrete (like the BVH walk): run on stop_gradient'ed
     # inputs; gradients flow through the phase-B record rebuild instead.
@@ -274,12 +298,18 @@ def pallas_phase_a(scene: SceneData, ro, rd, interpret: bool = False):
 
     comps = [ro_p[:, i].reshape(rows, LANES) for i in range(3)]
     comps += [rd_p[:, i].reshape(rows, LANES) for i in range(3)]
+    sph_motion = bool(scene.n_spheres) and scene.spheres.has_motion
+    if sph_motion:
+        t_blk = (jnp.zeros((n,), jnp.float32) if t_ray is None
+                 else jax.lax.stop_gradient(t_ray))
+        comps.append(jnp.pad(t_blk, (0, n_pad - n)).reshape(rows, LANES))
     sph, rect = pack_primitive_tables(scene)
     t, kind, idx = _run(
         sph, rect, *comps,
         n_spheres=scene.n_spheres, n_rects=scene.n_rects,
         sph_tf=scene.spheres.has_transforms,
         rect_tf=scene.rects.has_transforms,
+        sph_motion=sph_motion,
         interpret=interpret,
     )
     return (

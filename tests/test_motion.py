@@ -211,3 +211,60 @@ def test_motion_renders_identically_through_sharded_path():
         antialias=True, tile_size=w * h,
     ))
     assert np.abs(img - img_frozen).max() > 0.05, "shutter must matter"
+
+
+def motion_kernel_matches_xla_body(interpret: bool):
+    """Pallas intersect kernel with the per-ray time operand vs the XLA
+    motion phase A: same winners, same t (round 5 — motion scenes used
+    to lose the kernel entirely, ops/pallas_intersect.py).  Shared by
+    the CPU interpret test below and tests/tpu_smoke.py's compiled
+    check."""
+    from ray_tracing_tpu.models.camera import camera_rays
+    from ray_tracing_tpu.ops import geometry as geo
+    from ray_tracing_tpu.ops import intersect as isect
+    from ray_tracing_tpu.ops.pallas_intersect import (
+        pallas_eligible,
+        pallas_phase_a,
+    )
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    red = b.add_lambertian(b.add_texture_solid((0.9, 0.1, 0.1)))
+    b.add_sphere_moving((-0.8, 0.0, 0.0), (0.8, 0.0, 0.0), 0.35, red)
+    b.add_sphere((0.0, -0.9, 0.0), 0.3, red)
+    b.add_rect(0, -1.5, 1.5, -1.5, 1.5, -1.0, red)
+    scene = b.build()
+    assert pallas_eligible(scene)
+
+    cam = Camera.build(_cam(0.0, 1.0), 1.0)
+    ro, rd, _, _ = camera_rays(cam, jax.random.key(5), 64, 64, True)
+    t_ray = jax.random.uniform(jax.random.key(9), (ro.shape[0],))
+
+    @jax.jit
+    def both(s, ro, rd, t_ray):
+        pt, pk, pi = pallas_phase_a(s, ro, rd, t_ray, interpret=interpret)
+        st, sm = isect._sphere_phase_a(
+            s, ro, rd, geo.EPSILON, isect.INF, t_ray)
+        rt, rm = isect._rect_phase_a(s, ro, rd, geo.EPSILON, isect.INF)
+        return pt, pk, pi, st, sm, rt, rm
+
+    pt, pk, pi, st, sm, rt, rm = map(
+        np.asarray, both(scene, ro, rd, t_ray))
+    st = np.where(sm, st, np.inf)
+    rt = np.where(rm, rt, np.inf)
+    xs, xr = st.min(1), rt.min(1)
+    xt = np.minimum(xs, xr)
+    xkind = np.where(xs <= xr, isect.KIND_SPHERE, isect.KIND_RECT)
+    xidx = np.where(xs <= xr, st.argmin(1), rt.argmin(1))
+    xfound = np.isfinite(xt)
+    pfound = pk >= 0
+    np.testing.assert_array_equal(pfound, xfound)
+    np.testing.assert_allclose(pt[pfound], xt[xfound], rtol=1e-4)
+    same = pk[pfound] == xkind[xfound]
+    assert np.array_equal(pi[pfound][same], xidx[xfound][same])
+    assert same.mean() > 0.999
+    # the moving sphere must actually be hit for the check to bite
+    assert ((pk[pfound] == isect.KIND_SPHERE) & (pi[pfound] == 0)).sum() > 50
+
+
+def test_motion_kernel_matches_xla_interpret():
+    motion_kernel_matches_xla_body(interpret=True)

@@ -134,6 +134,12 @@ def main() -> int:
 
     run("pallas_intersect_winner", intersect_winner_check)
 
+    # 3b. motion-blur intersect kernel (per-ray time operand), compiled
+    import test_motion
+
+    run("pallas_motion_compiled",
+        lambda: test_motion.motion_kernel_matches_xla_body(interpret=False))
+
     # 4. one zy gallery pass: mean + sha256 of the raw floats
     def gallery_pass():
         from ray_tracing_tpu import Renderer, RendererParam, load_scene_json
