@@ -279,6 +279,88 @@ CL_CHUNK = 128
 # RAY_TPU_CL_BLOCK_ROWS / RAY_TPU_CL_CHUNK (read at trace time).
 
 
+CL_GROUP = 1024  # clusters per SMEM page of the paged kernel (one
+# XLA T(1024) tile per 1-D table; the page is DMA'd HBM -> SMEM when
+# the sweep crosses into a new group)
+
+
+def _cluster_kernel_paged(n_clusters, cl_chunk,
+                          lox, loy, loz, hix, hiy, hiz, tri_hbm,
+                          rox, roy, roz, rdx, rdy, rdz,
+                          t_out, idx_out, found_out,
+                          lox_s, loy_s, loz_s, hix_s, hiy_s, hiz_s,
+                          tri_smem, sem_a, sem_t):
+    """Cluster sweep for Kc > CL_GROUP: the six 1-D AABB tables live in
+    HBM and are paged into six 1-D SMEM scratches CL_GROUP entries at a
+    time (1-D scratch indexing is the layout-safe pattern — 2-D SMEM
+    operands AND >1-tile 1-D operands misindex on real TPU, see
+    _cluster_kernel).  ``n_clusters`` is padded to a CL_GROUP multiple;
+    padding boxes are lo=hi=+1e30, which every ray's slab test culls,
+    so padded slots cost one vector compare and never DMA."""
+    ro = (rox[:], roy[:], roz[:])
+    rd = (rdx[:], rdy[:], rdz[:])
+    inv0 = 1.0 / rd[0]
+    inv1 = 1.0 / rd[1]
+    inv2 = 1.0 / rd[2]
+    mx = ro[1] * rd[2] - ro[2] * rd[1]
+    my = ro[2] * rd[0] - ro[0] * rd[2]
+    mz = ro[0] * rd[1] - ro[1] * rd[0]
+
+    t_out[:] = jnp.full(t_out.shape, INF, jnp.float32)
+    idx_out[:] = jnp.zeros(idx_out.shape, jnp.int32)
+    found_out[:] = jnp.zeros(found_out.shape, jnp.int32)
+
+    pages = (
+        (lox, lox_s), (loy, loy_s), (loz, loz_s),
+        (hix, hix_s), (hiy, hiy_s), (hiz, hiz_s),
+    )
+
+    def cluster(k, _):
+        g = k // CL_GROUP
+        kk = k % CL_GROUP
+
+        @pl.when(kk == 0)
+        def _():
+            for hbm, smem in pages:
+                cp = pltpu.make_async_copy(
+                    hbm.at[pl.ds(g * CL_GROUP, CL_GROUP)], smem, sem_a
+                )
+                cp.start()
+                cp.wait()
+
+        window = t_out[:]
+        near = jnp.full(window.shape, EPSILON, jnp.float32)
+        far = window
+        for lo_s, hi_s, ax, inv in (
+            (lox_s, hix_s, 0, inv0), (loy_s, hiy_s, 1, inv1),
+            (loz_s, hiz_s, 2, inv2),
+        ):
+            a = (lo_s[kk] - ro[ax]) * inv
+            b_ = (hi_s[kk] - ro[ax]) * inv
+            near = jnp.maximum(near, jnp.minimum(a, b_))
+            far = jnp.minimum(far, jnp.maximum(a, b_))
+
+        @pl.when(jnp.any(near <= far))
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(k * cl_chunk, cl_chunk)],
+                tri_smem, sem_t,
+            )
+            cp.start()
+            cp.wait()
+            body = _tri_sweep_body(
+                tri_smem, ro, rd, (mx, my, mz), k * cl_chunk
+            )
+            best = jax.lax.fori_loop(
+                0, cl_chunk, body, (t_out[:], idx_out[:], found_out[:])
+            )
+            t_out[:], idx_out[:], found_out[:] = best
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, cluster, 0)
+
+
 def _cluster_kernel(n_clusters, cl_chunk,
                     lox, loy, loz, hix, hiy, hiz, tri_hbm,
                     rox, roy, roz, rdx, rdy, rdz,
@@ -374,32 +456,57 @@ def _run_cluster(aabb6, tri, rox, roy, roz, rdx, rdy, rdz, *, interpret,
     )(*aabb6, tri, rox, roy, roz, rdx, rdy, rdz)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows", "cl_chunk")
+)
+def _run_cluster_paged(aabb6, tri, rox, roy, roz, rdx, rdy, rdz, *,
+                       interpret, block_rows=CL_BLOCK_ROWS,
+                       cl_chunk=TRI_CHUNK):
+    rows = rox.shape[0]
+    n_clusters = aabb6[0].shape[0]  # CL_GROUP multiple (padded boxes cull)
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+    shape_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    kernel = functools.partial(_cluster_kernel_paged, n_clusters, cl_chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[hbm_spec] * 7 + [ray_spec] * 6,
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[shape_f, shape_i, shape_i],
+        scratch_shapes=[pltpu.SMEM((CL_GROUP,), jnp.float32)] * 6 + [
+            pltpu.SMEM((16, cl_chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(*aabb6, tri, rox, roy, roz, rdx, rdy, rdz)
+
+
 def _auto_cl_chunk(n_triangles: int) -> int:
-    """Smallest cluster granularity whose AABB tables fit one XLA
-    T(1024) tile: finer clusters cull better (measured ranking
-    128 < 256 < 512 < 1024 at 79k tris), so grow the chunk only as the
-    mesh forces it.  An explicit RAY_TPU_CL_CHUNK wins."""
+    """Cluster granularity: finer clusters cull better (measured ranking
+    128 < 256 < 512 < 1024 at 79k tris), and the paged kernel removes
+    the old one-tile table cap, so the finest chunk is always used.
+    An explicit RAY_TPU_CL_CHUNK wins."""
     env = os.environ.get("RAY_TPU_CL_CHUNK", "")
     if env:
         return int(env)
-    t_pad = -(-n_triangles // TRI_CHUNK) * TRI_CHUNK
-    for c in (CL_CHUNK, 256, 512, TRI_CHUNK):
-        if t_pad // c <= 1024:
-            return c
-    return TRI_CHUNK
+    return CL_CHUNK
 
 
 def pallas_cluster_eligible(scene) -> bool:
-    """The six 1-D cluster-AABB tables must each fit ONE XLA T(1024)
-    tile (the 2-D (6, Kc) layout misindexed past 128 lanes — see
-    _cluster_kernel).  With the auto-grown chunk (_auto_cl_chunk) that
-    caps the kernel at 1024 * TRI_CHUNK = ~1M triangles; beyond, the
-    XLA cluster sweep takes over."""
-    if not (scene.n_triangles > 0 and scene.triangles.has_sweep):
-        return False
-    cl_chunk = _auto_cl_chunk(scene.n_triangles)
-    t_pad = -(-scene.n_triangles // TRI_CHUNK) * TRI_CHUNK
-    return t_pad // cl_chunk <= 1024
+    """Any sweep-packed mesh: <= CL_GROUP clusters take the single-page
+    kernel (six one-tile SMEM tables), larger meshes the paged kernel
+    (tables in HBM, CL_GROUP-entry SMEM pages DMA'd on demand) — the
+    old ~131k-triangle cap is gone (round 5)."""
+    return scene.n_triangles > 0 and scene.triangles.has_sweep
 
 
 def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
@@ -411,7 +518,8 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
     Same (t, idx, mask) contract and tie rule as pallas_triangle_sweep
     / the XLA cluster sweep (strictly-smaller t wins -> lowest global
     index on ties).  Selection-only: inputs are detached, gradients
-    flow through Phase B."""
+    flow through Phase B.  Beyond CL_GROUP clusters the paged kernel
+    takes over (identical math, AABB tables paged through SMEM)."""
     tr_sg = jax.tree.map(jax.lax.stop_gradient, scene.triangles)
     tri = pack_triangle_table(tr_sg)
 
@@ -422,32 +530,33 @@ def pallas_cluster_sweep(scene, ro, rd, interpret: bool = False,
     if cl_chunk is None:
         cl_chunk = _auto_cl_chunk(scene.n_triangles)
     # validate an explicit cl_chunk (parameter or RAY_TPU_CL_CHUNK env):
-    # it must divide TRI_CHUNK so the padded table tiles exactly, and
-    # the resulting cluster count must fit ONE 1024-element table row —
-    # a direct caller could otherwise re-enter the >1024-cluster SMEM
-    # misindex regime the 1-D-table design guards against.
+    # it must divide TRI_CHUNK so the padded table tiles exactly
     if TRI_CHUNK % cl_chunk != 0:
         raise ValueError(
             f"cl_chunk={cl_chunk} must divide TRI_CHUNK={TRI_CHUNK} "
             "(set via pallas_cluster_sweep(cl_chunk=) or RAY_TPU_CL_CHUNK)"
         )
-    t_pad = -(-scene.n_triangles // TRI_CHUNK) * TRI_CHUNK
-    if t_pad // cl_chunk > 1024:
-        raise ValueError(
-            f"cl_chunk={cl_chunk} yields {t_pad // cl_chunk} clusters "
-            f"for {scene.n_triangles} triangles; the six cluster-AABB "
-            "tables hold at most 1024 entries each (one XLA tile — "
-            "2-D SMEM operands misindex past 128 lanes on real TPU). "
-            "Use a coarser cl_chunk or the XLA cluster sweep."
-        )
     aabb = pack_chunk_aabbs(tr_sg, chunk=cl_chunk)
-    aabb6 = tuple(aabb[i] for i in range(6))  # six contiguous (Kc,) rows
     comps, n = _blocked_rays(scene, ro, rd, block_rows * LANES)
 
-    t, idx, found = _run_cluster(
-        aabb6, tri, *comps, interpret=interpret, block_rows=block_rows,
-        cl_chunk=cl_chunk,
-    )
+    kc = aabb.shape[1]
+    if kc <= CL_GROUP:
+        aabb6 = tuple(aabb[i] for i in range(6))  # six (Kc,) rows
+        t, idx, found = _run_cluster(
+            aabb6, tri, *comps, interpret=interpret,
+            block_rows=block_rows, cl_chunk=cl_chunk,
+        )
+    else:
+        # pad to a whole number of SMEM pages; lo=hi=+1e30 boxes fail
+        # every slab test (any +inv axis puts near at +1e30 > window;
+        # any -inv axis puts far at -1e30), so padded slots never DMA
+        pad = -kc % CL_GROUP
+        aabb_p = jnp.pad(aabb, ((0, 0), (0, pad)), constant_values=1e30)
+        aabb6 = tuple(aabb_p[i] for i in range(6))
+        t, idx, found = _run_cluster_paged(
+            aabb6, tri, *comps, interpret=interpret,
+            block_rows=block_rows, cl_chunk=cl_chunk,
+        )
     return (
         t.reshape(-1)[:n],
         idx.reshape(-1)[:n],

@@ -72,11 +72,17 @@ def test_compiled_on_tpu_matches_xla_sweep():
 
 def _grid_scene(copies=4):
     """Several offset bunnies: multiple spatially distinct clusters so
-    the demand-fetch cull actually skips some."""
+    the demand-fetch cull actually skips some.  copies > 4 lays them
+    out on a 6-wide grid (used to exceed the paged kernel's CL_GROUP
+    page size: ~27 copies pass 131k triangles)."""
     b = SceneBuilder(background=(0.2, 0.2, 0.2))
     white = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
     pts, nrm, uvs = load_triangles("data/bunny.obj")
-    offs = [(-0.15, 0.0), (0.15, 0.0), (0.0, -0.15), (0.0, 0.15)][:copies]
+    if copies <= 4:
+        offs = [(-0.15, 0.0), (0.15, 0.0), (0.0, -0.15), (0.0, 0.15)][:copies]
+    else:
+        offs = [(0.3 * (i % 6) - 0.75, 0.3 * (i // 6) - 0.75)
+                for i in range(copies)]
     allp = [pts + np.asarray([dx, 0.0, dz], np.float32) for dx, dz in offs]
     b.add_mesh_triangles(
         np.concatenate(allp), np.concatenate([nrm] * copies),
@@ -125,3 +131,94 @@ def test_cluster_kernel_compiled_on_tpu_matches_xla():
         np.testing.assert_array_equal(mx, mp)
         np.testing.assert_array_equal(ix[mx], ip[mp])
         np.testing.assert_allclose(tx[mx], tp[mp], rtol=1e-5)
+
+
+def test_cluster_paged_interpret_matches_unpaged_and_xla():
+    """Kc > CL_GROUP routes to the paged kernel (AABB tables paged
+    HBM -> SMEM); its winners must bit-match the single-page kernel
+    run at a coarser chunk (identical per-triangle math via the shared
+    _tri_sweep_body) and the brute XLA winner."""
+    from ray_tracing_tpu.ops.pallas_triangles import (
+        CL_GROUP, pallas_cluster_eligible, pallas_cluster_sweep,
+    )
+
+    scene = _grid_scene(27)  # 134k tris -> 1056 clusters at chunk 128
+    assert pallas_cluster_eligible(scene)
+    assert scene.n_triangles > 128 * 1024  # beyond the old cap
+    ro, rd = _rays(512, 3)
+    tp, ip, mp = map(
+        np.asarray,
+        pallas_cluster_sweep(scene, ro, rd, interpret=True, cl_chunk=128),
+    )
+    tu, iu, mu = map(
+        np.asarray,
+        pallas_cluster_sweep(scene, ro, rd, interpret=True, cl_chunk=1024),
+    )
+    np.testing.assert_array_equal(mp, mu)
+    np.testing.assert_array_equal(ip[mp], iu[mu])
+    np.testing.assert_allclose(tp[mp], tu[mu], rtol=1e-6)
+    assert mp.any()
+
+    # brute XLA winner on a ray subset (the full grid would be GBs)
+    ros, rds = ro[:128], rd[:128]
+    tx, ix, mx = map(np.asarray, _xla_winner(scene, ros, rds))
+    np.testing.assert_array_equal(mx, mp[:128])
+    np.testing.assert_array_equal(ix[mx], ip[:128][mx])
+    np.testing.assert_allclose(tx[mx], tp[:128][mx], rtol=1e-6)
+
+
+def _soup_scene(n_tris=500_000, seed=0):
+    """Synthetic ~n_tris soup: small random triangles scattered in a
+    slab, Morton-orderable like a real mesh."""
+    rng = np.random.RandomState(seed)
+    c = rng.uniform(-1.0, 1.0, (n_tris, 3)).astype(np.float32)
+    c[:, 2] = rng.uniform(-2.0, -0.5, n_tris)
+    e1 = rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.01
+    e2 = rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.01
+    pts = np.stack([c, c + e1, c + e2], axis=1)  # (T, 3, 3)
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    nrm = np.repeat(n[:, None, :], 3, axis=1).astype(np.float32)
+    uvs = np.zeros((n_tris, 3, 2), np.float32)
+    b = SceneBuilder(background=(0.2, 0.2, 0.2))
+    white = b.add_lambertian(b.add_texture_solid((0.7, 0.7, 0.7)))
+    b.add_mesh_triangles(pts, nrm, uvs, white)
+    return b.build()
+
+
+def test_cluster_paged_compiled_500k_matches_xla_cluster():
+    """>=500k-triangle soup end-to-end through the paged kernel on a
+    real TPU, winners vs the XLA cluster sweep (VERDICT r4 item 7).
+    Run by tests/tpu_smoke.py; skipped on the CPU suite."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU backend (compiled Mosaic path)")
+    from ray_tracing_tpu.ops.pallas_triangles import (
+        pallas_cluster_eligible, pallas_cluster_sweep,
+    )
+
+    scene = _soup_scene(500_000)
+    assert pallas_cluster_eligible(scene)
+    assert scene.triangles.has_clusters
+    rng = np.random.RandomState(5)
+    n = 4096
+    ro = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3)) * 0.2
+    d[:, 2] -= 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rd = jnp.asarray(d, jnp.float32)
+
+    tr = scene.triangles
+    tx, ix, mx = map(np.asarray, jax.jit(
+        lambda s, ro, rd: geo.triangle_cluster_sweep_t(
+            ro, rd, s.triangles.sw_origin, s.triangles.cl_lo,
+            s.triangles.cl_hi, s.triangles.cl_e12, s.triangles.cl_e13,
+            s.triangles.cl_n, s.triangles.cl_g1, s.triangles.cl_g2,
+            s.triangles.cl_d0, geo.EPSILON, jnp.inf,
+        )
+    )(scene, ro, rd))
+    tp, ip, mp = map(np.asarray, pallas_cluster_sweep(scene, ro, rd))
+    np.testing.assert_array_equal(mx, mp)
+    same = ip[mp] == ix[mx]
+    assert same.mean() > 0.999, "winner indices diverge beyond ties"
+    np.testing.assert_allclose(tp[mp], tx[mx], rtol=1e-5)
+    assert mp.sum() > 500, "soup must actually be hit"

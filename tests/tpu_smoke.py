@@ -85,6 +85,8 @@ def main() -> int:
         test_pallas_triangles.test_compiled_on_tpu_matches_xla_sweep)
     run("pallas_cluster_compiled",
         test_pallas_triangles.test_cluster_kernel_compiled_on_tpu_matches_xla)
+    run("pallas_cluster_paged_500k_compiled",
+        test_pallas_triangles.test_cluster_paged_compiled_500k_matches_xla_cluster)
 
     # 3. fused intersect kernel vs the XLA phase-A winner, same device
     def intersect_winner_check():
