@@ -15,6 +15,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ("examples/fit_materials.py",
      ["--steps", "12", "--size", "16", "--depth", "4"],
      "final |fuzz err|"),
+    ("examples/fit_geometry.py", ["--steps", "8", "--size", "16"],
+     "final geometry error"),
 ])
 def test_example_runs_standalone(script, args, expect):
     """Examples must run as plain scripts (no install, forced CPU) and
