@@ -70,14 +70,21 @@ def _shutter_times(scene: SceneData, key, ids):
     return ray_time(key, ids, shutter)
 
 
-def _bounce(scene: SceneData, key, bounce, carry, count_segments=True):
+def _bounce(scene: SceneData, key, bounce, carry, count_segments=True,
+            hint_slot=None):
     """One wavefront bounce: intersect, emit/background, scatter.
-    carry = (rad, thr, ro, rd, alive, ids, segments); uniforms keyed by
-    (ids, bounce) via :func:`ray_uniforms`.  ``count_segments`` (static)
-    gates the per-bounce live-lane sum: a scalar reduction inside the
-    fused bounce body measured ~38 ms/pass at 1024² on TPU, so it runs
-    only when the caller asked for stats."""
-    rad, thr, ro, rd, alive, ids, segments = carry
+    carry = (rad, thr, ro, rd, alive, ids, segments[, hrows]); uniforms
+    keyed by (ids, bounce) via :func:`ray_uniforms`.  ``count_segments``
+    (static) gates the per-bounce live-lane sum: a scalar reduction
+    inside the fused bounce body measured ~38 ms/pass at 1024² on TPU,
+    so it runs only when the caller asked for stats.  ``hint_slot``
+    (static presence, traced value): when not None the carry ends with
+    a per-bounce i32 hint row written at that slot — see
+    trace_compacted's fusion_hint."""
+    if hint_slot is not None:
+        rad, thr, ro, rd, alive, ids, segments, hrows = carry
+    else:
+        rad, thr, ro, rd, alive, ids, segments = carry
     if count_segments:
         segments = segments + jnp.sum(alive.astype(jnp.float32))
     n_med = scene.n_medium
@@ -96,6 +103,12 @@ def _bounce(scene: SceneData, key, bounce, carry, count_segments=True):
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
+    if hint_slot is not None:
+        flags = found.astype(jnp.int32) | (new_alive.astype(jnp.int32) << 1)
+        hrows = jax.lax.dynamic_update_index_in_dim(
+            hrows, flags, hint_slot, 0
+        )
+        return rad, thr, ro, rd, new_alive, ids, segments, hrows
     return rad, thr, ro, rd, new_alive, ids, segments
 
 
@@ -236,6 +249,7 @@ def trace_compacted(
     chunk_div: int | None = None,
     with_stats: bool = False,
     ids_base: int = 0,
+    fusion_hint: bool = False,
 ) -> jnp.ndarray:
     """Forward-only trace with staged wavefront compaction.
 
@@ -254,6 +268,16 @@ def trace_compacted(
     BIT-IDENTICAL to :func:`trace` with the same key (a bounce over a
     dead ray is a masked no-op and consumes nothing).  N must be a
     multiple of chunk_div.
+
+    ``fusion_hint``: additionally write a per-(bounce, ray) i32 flags
+    row and return its reduction as an extra output the CALLER MUST
+    KEEP LIVE (return it from the enclosing jit).  The row's content is
+    junk; its presence flips XLA's fusion/layout decisions for the
+    whole bounce loop: 231 → 182 ms/pass at 1024² on zy (TPU v5e,
+    scratch/exp_r5_fuse.py — the taped forward's "consume the tape and
+    get faster" effect, reproduced with a 10 MB/tile hint).  The
+    radiance is bit-identical either way (tests assert).  Return
+    becomes (rad[, segments], hint).
     """
     n = ro.shape[0]
     if chunk_div is None:
@@ -270,6 +294,8 @@ def trace_compacted(
     segments = jnp.zeros((), dtype=jnp.float32)
 
     carry = (rad, thr, ro, rd, alive, ids, segments)
+    if fusion_hint:
+        carry = carry + (jnp.zeros((max_depth, n), jnp.int32),)
     offset = 0
 
     for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
@@ -277,13 +303,16 @@ def trace_compacted(
             # full-width warm stage (everything is alive anyway)
             def body0(b, c, _offset=offset):
                 return _bounce(scene, key, _offset + b, c,
-                               count_segments=with_stats)
+                               count_segments=with_stats,
+                               hint_slot=(_offset + b) if fusion_hint
+                               else None)
 
             carry = jax.lax.fori_loop(0, bounces, body0, carry)
             offset += bounces
             continue
 
-        rad, thr, ro, rd, alive, ids, segments = carry
+        rad, thr, ro, rd, alive, ids, segments = carry[:7]
+        hrows = carry[7] if fusion_hint else None
         # compact: alive rays first (stable keeps pixel coherence)
         order = jnp.argsort(~alive, stable=True)
         rad = rad[order]
@@ -294,45 +323,61 @@ def trace_compacted(
         ids = ids[order]
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
-        def chunk_body(state, _offset=offset):
-            ci, rad, thr, ro, rd, alive, ids, segments = state
+        def chunk_body(state, _offset=offset, _bounces=bounces):
+            ci, rad, thr, ro, rd, alive, ids, segments = state[:8]
             start = ci * chunk
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
             c_carry = (
                 sl(rad), sl(thr), sl(ro), sl(rd), sl(alive), sl(ids),
                 jnp.zeros((), jnp.float32),
             )
+            if fusion_hint:
+                c_carry = c_carry + (
+                    jnp.zeros((max_depth, chunk), jnp.int32),
+                )
 
             def bodyc(b, c):
                 return _bounce(scene, key, _offset + b, c,
-                               count_segments=with_stats)
+                               count_segments=with_stats,
+                               hint_slot=b if fusion_hint else None)
 
-            c_rad, c_thr, c_ro, c_rd, c_alive, c_ids, c_segs = (
-                bounded_bounce_loop(bounces, bodyc, c_carry, lambda c: c[4])
-            )
+            outs = bounded_bounce_loop(_bounces, bodyc, c_carry,
+                                       lambda c: c[4])
+            (c_rad, c_thr, c_ro, c_rd, c_alive, c_ids, c_segs) = outs[:7]
             upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, 0)
-            return (
+            new = (
                 ci + 1,
                 upd(rad, c_rad), upd(thr, c_thr), upd(ro, c_ro),
                 upd(rd, c_rd), upd(alive, c_alive), upd(ids, c_ids),
                 segments + c_segs,
             )
+            if fusion_hint:
+                # hint content is junk; overwrite the whole column range
+                new = new + (jax.lax.dynamic_update_slice(
+                    state[8], outs[7], (0, start)),)
+            return new
 
         def chunk_cond(state):
             ci = state[0]
             return ci * chunk < alive_count
 
-        _, rad, thr, ro, rd, alive, ids, segments = jax.lax.while_loop(
-            chunk_cond, chunk_body,
-            (jnp.int32(0), rad, thr, ro, rd, alive, ids, segments),
-        )
+        init = (jnp.int32(0), rad, thr, ro, rd, alive, ids, segments)
+        if fusion_hint:
+            init = init + (hrows,)
+        out = jax.lax.while_loop(chunk_cond, chunk_body, init)
+        _, rad, thr, ro, rd, alive, ids, segments = out[:8]
         carry = (rad, thr, ro, rd, alive, ids, segments)
+        if fusion_hint:
+            carry = carry + (out[8],)
         offset += bounces
 
-    rad, thr, ro, rd, alive, ids, segments = carry
+    rad, thr, ro, rd, alive, ids, segments = carry[:7]
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
     # unsort: sorted position i belongs to pixel ids[i] - ids_base
     rad_out = jnp.zeros_like(rad).at[ids - ids_base].set(rad)
+    outs = (rad_out,)
     if with_stats:
-        return rad_out, segments
-    return rad_out
+        outs = outs + (segments,)
+    if fusion_hint:
+        outs = outs + (jnp.sum(carry[7]),)
+    return outs if len(outs) > 1 else rad_out

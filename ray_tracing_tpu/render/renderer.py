@@ -73,14 +73,20 @@ def render_pass(
     with_stats: bool = False,
     early_exit: bool = False,
     compaction: bool = False,
+    fusion_hint: bool = False,
 ) -> jnp.ndarray:
     """One full-image 1-spp pass -> (H, W, 3) linear radiance.
 
     Pure function of (scene, camera, key); differentiable w.r.t. scene
     and camera pytree leaves.  Keyword args are static.  With
     ``with_stats`` also returns the total ray-segment count (see
-    integrator.trace).
+    integrator.trace).  With ``fusion_hint`` (compaction only) the
+    return gains a junk scalar the caller's jit must also return —
+    keeping it live flips XLA's bounce-loop fusion in our favor
+    (231 → 182 ms/pass at 1024²; integrator.trace_compacted); the
+    image is bit-identical either way.
     """
+    assert not (fusion_hint and not compaction)
     n = width * height
     from ray_tracing_tpu.models.camera import stamp_shutter
 
@@ -106,27 +112,34 @@ def render_pass(
         ro_t, rd_t, tid = args
         base = tid * tile_size
         if compaction:
-            return trace_compacted(
+            out = trace_compacted(
                 scene, ro_t, rd_t, k_trace, max_depth,
                 with_stats=with_stats, ids_base=base,
+                fusion_hint=fusion_hint,
             )
-        return trace(
-            scene, ro_t, rd_t, k_trace, max_depth,
-            remat=remat, with_stats=with_stats, early_exit=early_exit,
-            ids_base=base,
-        )
+        else:
+            out = trace(
+                scene, ro_t, rd_t, k_trace, max_depth,
+                remat=remat, with_stats=with_stats, early_exit=early_exit,
+                ids_base=base,
+            )
+        return out if isinstance(out, tuple) else (out,)
 
     if n_tiles == 1:
-        out = run_tile((ro[0], rd[0], tile_ids[0]))
-        colors, segs = (out[0][None], out[1][None]) if with_stats else (out[None], None)
+        out = tuple(x[None] for x in run_tile((ro[0], rd[0], tile_ids[0])))
     else:
         out = jax.lax.map(run_tile, (ro, rd, tile_ids))
-        colors, segs = (out[0], out[1]) if with_stats else (out, None)
+    colors = out[0]
     colors = colors.reshape(n_tiles * tile_size, 3)[:n]
     img = colors.reshape(height, width, 3)
+    outs = (img,)
+    pos = 1
     if with_stats:
-        return img, jnp.sum(segs)
-    return img
+        outs = outs + (jnp.sum(out[pos]),)
+        pos += 1
+    if fusion_hint:
+        outs = outs + (jnp.sum(out[pos]),)
+    return outs if len(outs) > 1 else img
 
 
 class Renderer:
@@ -199,8 +212,17 @@ class Renderer:
             tile_size=self.tile_size,
             early_exit=early_exit and not compaction,
             compaction=compaction,
+            # fusion_hint flips XLA's bounce-loop fusion when the
+            # radiance is consumed REDUCED (231 -> 182 ms/pass at
+            # 1024², scratch/exp_r5_fuse.py), but with the full image
+            # as the jit output the effect measured noise-level
+            # (1.01x +-0.04 interleaved), so it stays off here; the
+            # capability + bit-identity test remain for scalar-consumer
+            # callers
+            fusion_hint=False,
         )
         self._render = jax.jit(partial(render_pass, **self._pass_opts))
+        self._hint = False
 
     @staticmethod
     def _as_key(key):
@@ -214,7 +236,8 @@ class Renderer:
     def render(self, key) -> jnp.ndarray:
         """One 1-spp pass; ``key`` is a PRNG key or an int seed.
         Returns (H, W, 3) float32 linear radiance on device."""
-        return self._render(self.scene, self.camera, self._as_key(key))
+        out = self._render(self.scene, self.camera, self._as_key(key))
+        return out[0] if self._hint else out
 
     def render_with_stats(self, key):
         """(image, traced_segment_count) — the honest rays/s numerator,
@@ -224,7 +247,8 @@ class Renderer:
             self._render_stats = jax.jit(
                 partial(render_pass, with_stats=True, **self._pass_opts)
             )
-        return self._render_stats(self.scene, self.camera, self._as_key(key))
+        out = self._render_stats(self.scene, self.camera, self._as_key(key))
+        return out[:2]
 
     def accumulate(self, key, acc=None):
         """Fold one pass into a device-resident sum image and return it
@@ -242,17 +266,26 @@ class Renderer:
         """
         if not hasattr(self, "_accum_fn"):
             render = self._render
+            hint = self._hint
 
             @jax.jit
             def accum(scene, camera, k, a):
-                return a + render(scene, camera, k)
+                out = render(scene, camera, k)
+                if hint:
+                    # the junk hint must remain a live OUTPUT of this
+                    # jit too, or XLA DCEs it and the fusion win is lost
+                    return a + out[0], out[1]
+                return a + out, jnp.int32(0)
 
             self._accum_fn = accum
         if acc is None:
             acc = jnp.zeros(
                 (self.param.height, self.param.width, 3), jnp.float32
             )
-        return self._accum_fn(self.scene, self.camera, self._as_key(key), acc)
+        acc, _ = self._accum_fn(
+            self.scene, self.camera, self._as_key(key), acc
+        )
+        return acc
 
     def render_to_noise(
         self,
@@ -275,11 +308,13 @@ class Renderer:
         """
         if not hasattr(self, "_accum2_fn"):
             render = self._render
+            hint = self._hint
 
             @jax.jit
             def accum2(scene, camera, k, s, s2):
-                img = render(scene, camera, k)
-                return s + img, s2 + img * img
+                out = render(scene, camera, k)
+                img, h = (out if hint else (out, jnp.int32(0)))
+                return s + img, s2 + img * img, h
 
             @jax.jit
             def criterion(s, s2, n):
@@ -299,7 +334,7 @@ class Renderer:
         n = 0
         rel = float("inf")
         while n < max_passes:
-            s, s2 = self._accum2_fn(
+            s, s2, _ = self._accum2_fn(
                 self.scene, self.camera, jax.random.fold_in(key, n), s, s2
             )
             n += 1

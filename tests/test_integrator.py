@@ -452,3 +452,35 @@ def test_sharded_render_bit_matches_unsharded():
     rows_equal = (shard == single).all(axis=1).mean()
     assert rows_equal > 0.99, rows_equal
     np.testing.assert_allclose(shard, single, rtol=2e-4, atol=2e-5)
+
+
+def test_fusion_hint_is_bit_identical():
+    """The fusion_hint aux output (junk i32 written per bounce to flip
+    XLA's fusion, round 5) must not change the radiance in any bit."""
+    import jax
+
+    from ray_tracing_tpu import load_scene_json
+    from ray_tracing_tpu.models.camera import Camera, camera_rays
+    from ray_tracing_tpu.render.integrator import trace_compacted
+
+    bundle = load_scene_json("data/zy_scene.json")
+    scene = bundle.scene
+    cam = Camera.build(bundle.camera, 1.0)
+    ro, rd, _, k = camera_rays(cam, jax.random.key(5), 32, 32, True)
+    plain = np.asarray(jax.jit(
+        lambda s, ro, rd, k: trace_compacted(s, ro, rd, k, 8)
+    )(scene, ro, rd, k))
+    hinted, hint = jax.jit(
+        lambda s, ro, rd, k: trace_compacted(s, ro, rd, k, 8,
+                                             fusion_hint=True)
+    )(scene, ro, rd, k)
+    np.testing.assert_array_equal(plain, np.asarray(hinted))
+    assert int(hint) != 0  # the junk rows really are written
+
+    with_stats = jax.jit(
+        lambda s, ro, rd, k: trace_compacted(
+            s, ro, rd, k, 8, with_stats=True, fusion_hint=True)
+    )(scene, ro, rd, k)
+    rad2, segs, hint2 = with_stats
+    np.testing.assert_array_equal(plain, np.asarray(rad2))
+    assert float(segs) > 0
