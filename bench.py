@@ -194,8 +194,11 @@ def main():
                 params, s, ro, rd, k_trace, max_depth,
                 rads.reshape(n, 3), gcs.reshape(n, 3) / (n * 3),
                 touched.reshape(n), static_scene=scene,
+                # 65536 = one batch per scalar family on zy (metal- and
+                # dielectric-touched sets are ~57k/59k rays at 1024²);
+                # interleaved A/B: 298 vs 301 ms/pass at 32768
                 tangent_cap=int(
-                    os.environ.get("RAY_TPU_BENCH_TCAP", 0) or 32768
+                    os.environ.get("RAY_TPU_BENCH_TCAP", 0) or 65536
                 ),
             )
             g = g._replace(fuzz=gfuzz, ir=gir)

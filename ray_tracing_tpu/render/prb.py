@@ -243,9 +243,9 @@ def _prb_bounce(scene: SceneData, key, bounce, carry, accumulate=True):
     # (render/prb_scalar.py).
     from ray_tracing_tpu.models.scene import MAT_DIELECTRIC
 
-    touched = touched | (
-        found & ((mtype == MAT_METAL) | (mtype == MAT_DIELECTRIC))
-    )
+    touched = touched | jnp.where(
+        found & (mtype == MAT_METAL), 1, 0
+    ) | jnp.where(found & (mtype == MAT_DIELECTRIC), 2, 0)
 
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
@@ -292,7 +292,9 @@ def grads_image_flat(gacc, scene):
 def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g,
                    alive0=None, ids0=None, accumulate=True):
     """Replay the dense loop; returns ((gcol, gimg_planar, gmet),
-    replayed_rad (N,3), touched (N,) — rays whose path reaches a
+    replayed_rad (N,3), touched (N,) i32 bitmask (1 = path reaches a
+    metal, 2 — a dielectric; the scalar tangent pass batches each
+    family over its own rays) — rays whose path reaches a
     metal / dielectric).  ``alive0`` restricts the replay to a subset
     of rays (the rest output zero radiance); ``ids0`` supplies the rays'
     ORIGINAL ids so a gathered subset keeps its original uniforms;
@@ -307,7 +309,7 @@ def prb_grad_dense(scene, ro, rd, key, max_depth, rad_total, g,
         ro, rd,
         alive,
         ids,
-        jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.int32),
         _zero_grads(scene) if accumulate else _empty_grads(),
         g, rad_total,
     )
@@ -356,7 +358,7 @@ def prb_grad_compacted(
     alive = jnp.ones((n,), bool) if alive0 is None else alive0
     ids = jnp.arange(n, dtype=jnp.int32) if ids0 is None else ids0
     pos = jnp.arange(n, dtype=jnp.int32)  # sorted position -> input row
-    touched = jnp.zeros((n,), bool)
+    touched = jnp.zeros((n,), jnp.int32)
     gacc = _zero_grads(scene) if accumulate else _empty_grads()
 
     from ray_tracing_tpu.render.integrator import (
@@ -434,7 +436,7 @@ def prb_grad_compacted(
 
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
     rad_out = jnp.zeros_like(rad).at[pos].set(rad)
-    touched_out = jnp.zeros((n,), bool).at[pos].set(touched)
+    touched_out = jnp.zeros((n,), jnp.int32).at[pos].set(touched)
     return gacc, rad_out, touched_out
 
 

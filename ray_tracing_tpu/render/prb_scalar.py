@@ -130,6 +130,78 @@ def _resolve_scalar_rows(scene, static_scene, scalar_rows):
     return np.asarray(fuzz_rows, np.int32), np.asarray(ir_rows, np.int32)
 
 
+def _tangent_batches(
+    scene_of, theta0, mask, ro, rd, key, max_depth, rad, g,
+    *, compaction, tangent_cap, tangent_chunk_div, ids_base,
+):
+    """d(vdot(g, rad)) / d(theta) restricted to rays where ``mask`` is
+    set, via cap-sized forward-tangent batch replays.  The masked rays
+    are sorted to the front and the tangent replay runs on STATIC
+    cap-ray batches inside a while_loop: normally ONE iteration, ZERO
+    when nothing is masked, and extra exact batches if the count ever
+    exceeds the cap — no lax.cond fallback to a full-width replay (the
+    cond alone cost ~15 ms/tile at 1024²: its giant dead branch
+    blocked fusion around pass 2)."""
+    replay_fn = prb_grad_compacted if compaction else prb_grad_dense
+    n = ro.shape[0]
+    # static batch size: n/8 with the replay's default chunk division
+    # (production interleave at 1024²: 147 ms marginal vs 174-210 for
+    # smaller caps / chunk_div=1 — an ISOLATED pass-2 microbench said
+    # the opposite; fusion context flips it, trust only the production
+    # interleave), at least 256 rays, never more than n, and a
+    # multiple of 8 so the replay's chunk division is exact
+    cap = tangent_cap if tangent_cap else max(256, n // 8)
+    cap = min(n, cap)
+    cap -= cap % 8
+    if cap <= 0:
+        cap = n
+
+    count = jnp.sum(mask.astype(jnp.int32))
+    # compact masked rays to the front.  argsort + prefix-gather beats
+    # jnp.nonzero(size=cap) here: the nonzero lowering scatters and
+    # measured ~100 ms/pass slower at 1024².
+    order = jnp.argsort(~mask, stable=True)
+
+    def batch_val(theta, start):
+        # dynamic_slice CLAMPS an out-of-range start to n - cap, so
+        # compute the clamped window explicitly and mask each row by
+        # its GLOBAL position: rows before ``start`` were processed
+        # by an earlier batch, rows at/after ``count`` are fill.
+        # (Without this, a final partial batch double-counted the
+        # overlap and dropped the tail — wrong fuzz/IR gradients
+        # whenever cap did not divide the touched prefix.)
+        st = jnp.minimum(start, jnp.int32(n - cap))
+        sub = jax.lax.dynamic_slice_in_dim(order, st, cap)
+        ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
+        rad_s = rad[sub]
+        pos = st + jnp.arange(cap, dtype=jnp.int32)
+        alive_s = (pos >= start) & (pos < count)
+
+        # default chunk division (the dense replay has none)
+        kw = (
+            {"chunk_div": tangent_chunk_div}
+            if compaction and tangent_chunk_div
+            else {}
+        )
+        _, rad_t, _ = replay_fn(
+            scene_of(theta), ro_s, rd_s, key, max_depth,
+            rad_s, g_s, alive0=alive_s, ids0=ids_base + sub,
+            accumulate=False, **kw,
+        )
+        return jnp.vdot(g_s, rad_t)
+
+    def batch_body(state):
+        start, acc = state
+        gth = jax.jacfwd(batch_val)(theta0, start)
+        return start + cap, acc + gth
+
+    _, gtheta = jax.lax.while_loop(
+        lambda s: s[0] < count, batch_body,
+        (jnp.int32(0), jnp.zeros_like(theta0)),
+    )
+    return gtheta
+
+
 def _scalar_tangent_pass(
     p: AllParams,
     sc: SceneData,
@@ -140,90 +212,48 @@ def _scalar_tangent_pass(
 ):
     """Pass 2 — scalar tangents on the touched subset only.  A path
     that never hits a metal/dielectric has EXACTLY zero fuzz/IR
-    derivative (zy: only ~2% of rays do), and uniforms are keyed
-    by (ray id, bounce), so a GATHERED subset replays its paths
-    bit-exactly.  The touched rays are sorted to the front and
-    the tangent replay runs on STATIC cap-ray batches inside a
-    while_loop: normally ONE iteration (zy: ~3k touched of 131k),
-    ZERO when nothing is touched, and extra exact batches if the
-    touched count ever exceeds the cap — no lax.cond fallback to
-    a full-width replay (the cond alone cost ~15 ms/tile at
-    1024²: its giant dead branch blocked fusion around pass 2).
+    derivative, and uniforms are keyed by (ray id, bounce), so a
+    GATHERED subset replays its paths bit-exactly.
+
+    ``touched`` is the replay/tape bitmask (1 = path reached a metal,
+    2 — a dielectric; a plain bool mask is accepted as "both").  The
+    two scalar FAMILIES batch independently over THEIR rays only
+    (round 5): on zy at 1024² the metal- and dielectric-touching sets
+    are ~5.5% each and nearly disjoint, so two 1-tangent passes over
+    ~57k rays each beat one 2-tangent pass over the ~113k-ray union —
+    the tangent-stream work drops by ~S×/families.
 
     Returns (gfuzz (M,), gir (M,))."""
-    replay_fn = prb_grad_compacted if compaction else prb_grad_dense
-    n_f, n_i = len(fuzz_rows_j), len(ir_rows_j)
-    n_scalars = n_f + n_i
+    if touched.dtype == jnp.bool_:
+        touched = jnp.where(touched, 3, 0)
     gfuzz = jnp.zeros_like(p.fuzz)
     gir = jnp.zeros_like(p.ir)
-    theta0 = jnp.concatenate([p.fuzz[fuzz_rows_j], p.ir[ir_rows_j]])
-    if n_scalars:
-        n = ro.shape[0]
-        # static batch size: n/8 with the replay's default chunk
-        # division (production interleave at 1024²: 147 ms marginal
-        # vs 174-210 for smaller caps / chunk_div=1 — an ISOLATED
-        # pass-2 microbench said the opposite, n/32+div1 at 9.5 vs
-        # 11.3 ms/tile; fusion context flips it, trust only the
-        # production interleave), at least 256 rays, never more
-        # than n, and a multiple of 8 so the replay's chunk
-        # division is exact
-        cap = tangent_cap if tangent_cap else max(256, n // 8)
-        cap = min(n, cap)
-        cap -= cap % 8
-        if cap <= 0:
-            cap = n
-
-        def scene_of(theta):
-            fuzz = p.fuzz.at[fuzz_rows_j].set(theta[:n_f])
-            ir = p.ir.at[ir_rows_j].set(theta[n_f:])
-            return _with_all(sc, p._replace(fuzz=fuzz, ir=ir))
-
-        count = jnp.sum(touched.astype(jnp.int32))
-        # compact touched rays to the front.  argsort + prefix-
-        # gather beats jnp.nonzero(size=cap) here: the nonzero
-        # lowering scatters and measured ~100 ms/pass slower at
-        # 1024².
-        order = jnp.argsort(~touched, stable=True)
-
-        def batch_val(theta, start):
-            # dynamic_slice CLAMPS an out-of-range start to n - cap, so
-            # compute the clamped window explicitly and mask each row by
-            # its GLOBAL position: rows before ``start`` were processed
-            # by an earlier batch, rows at/after ``count`` are fill.
-            # (Without this, a final partial batch double-counted the
-            # overlap and dropped the tail — wrong fuzz/IR gradients
-            # whenever cap did not divide the touched prefix.)
-            st = jnp.minimum(start, jnp.int32(n - cap))
-            sub = jax.lax.dynamic_slice_in_dim(order, st, cap)
-            ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
-            rad_s = rad[sub]
-            pos = st + jnp.arange(cap, dtype=jnp.int32)
-            alive_s = (pos >= start) & (pos < count)
-
-            # default chunk division (the dense replay has none)
-            kw = (
-                {"chunk_div": tangent_chunk_div}
-                if compaction and tangent_chunk_div
-                else {}
+    common = dict(
+        compaction=compaction, tangent_cap=tangent_cap,
+        tangent_chunk_div=tangent_chunk_div, ids_base=ids_base,
+    )
+    if len(fuzz_rows_j):
+        def scene_of_fuzz(theta):
+            return _with_all(
+                sc, p._replace(fuzz=p.fuzz.at[fuzz_rows_j].set(theta))
             )
-            _, rad_t, _ = replay_fn(
-                scene_of(theta), ro_s, rd_s, key, max_depth,
-                rad_s, g_s, alive0=alive_s, ids0=ids_base + sub,
-                accumulate=False, **kw,
-            )
-            return jnp.vdot(g_s, rad_t)
 
-        def batch_body(state):
-            start, acc = state
-            gth = jax.jacfwd(batch_val)(theta0, start)
-            return start + cap, acc + gth
-
-        _, gtheta = jax.lax.while_loop(
-            lambda s: s[0] < count, batch_body,
-            (jnp.int32(0), jnp.zeros_like(theta0)),
+        gth = _tangent_batches(
+            scene_of_fuzz, p.fuzz[fuzz_rows_j], (touched & 1) != 0,
+            ro, rd, key, max_depth, rad, g, **common,
         )
-        gfuzz = gfuzz.at[fuzz_rows_j].set(gtheta[:n_f])
-        gir = gir.at[ir_rows_j].set(gtheta[n_f:])
+        gfuzz = gfuzz.at[fuzz_rows_j].set(gth)
+    if len(ir_rows_j):
+        def scene_of_ir(theta):
+            return _with_all(
+                sc, p._replace(ir=p.ir.at[ir_rows_j].set(theta))
+            )
+
+        gth = _tangent_batches(
+            scene_of_ir, p.ir[ir_rows_j], (touched & 2) != 0,
+            ro, rd, key, max_depth, rad, g, **common,
+        )
+        gir = gir.at[ir_rows_j].set(gth)
     return gfuzz, gir
 
 

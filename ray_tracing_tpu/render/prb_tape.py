@@ -142,9 +142,11 @@ def _taped_bounce(scene: SceneData, key, bounce, slot, carry):
         (aux.leaf_tex, aux.texel, hit.material, flags, c, rad),
     )
 
-    touched = touched | (
-        found & ((mtype == MAT_METAL) | (mtype == MAT_DIELECTRIC))
-    )
+    # bitmask: bit0 = path reached a metal, bit1 = a dielectric; the
+    # scalar tangent pass batches each family over ITS rays only
+    touched = touched | jnp.where(
+        found & (mtype == MAT_METAL), 1, 0
+    ) | jnp.where(found & (mtype == MAT_DIELECTRIC), 2, 0)
     thr = jnp.where(new_alive[:, None], thr * sc.coef, thr)
     ro = jnp.where(found[:, None], hit.p, ro)
     rd = jnp.where(new_alive[:, None], sc.direction, rd)
@@ -175,7 +177,8 @@ def trace_taped(
 
     Walks EXACTLY integrator.trace_compacted's schedule (same sorts,
     same chunks, same uniforms) — the radiance is bit-identical to it
-    and to the dense loop.  Returns ``(rad (n,3), touched (n,), tape)``
+    and to the dense loop.  Returns ``(rad (n,3), touched (n,) i32
+    bitmask — 1: path reached a metal, 2: a dielectric — , tape)``
     with rad/touched in input-row order.  ``ids_base`` offsets the RNG
     ids (see integrator.trace) — tape.stage_ids stay tile-LOCAL.
     """
@@ -192,7 +195,7 @@ def trace_taped(
     thr = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     ids = ids_base + jnp.arange(n, dtype=jnp.int32)
-    touched = jnp.zeros((n,), bool)
+    touched = jnp.zeros((n,), jnp.int32)
     rows = _empty_rows(max_depth, n)
     stage_ids = jnp.zeros((n_stages, n), jnp.int32)
     alive_counts = jnp.zeros((n_stages,), jnp.int32)
@@ -271,7 +274,7 @@ def trace_taped(
     rad, thr, ro, rd, alive, ids, touched, rows = carry
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
     rad_out = jnp.zeros_like(rad).at[ids - ids_base].set(rad)
-    touched_out = jnp.zeros((n,), bool).at[ids - ids_base].set(touched)
+    touched_out = jnp.zeros((n,), jnp.int32).at[ids - ids_base].set(touched)
     tape = PrbTape(*rows, stage_ids=stage_ids, alive_counts=alive_counts)
     return rad_out, touched_out, tape
 

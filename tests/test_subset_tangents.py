@@ -66,7 +66,8 @@ def test_subset_and_full_branches_agree():
     def all_touched(*a, **kw):
         gacc, rad_out, touched = orig(*a, **kw)
         if kw.get("alive0") is None:  # only the primal pass's output
-            touched = jnp.ones_like(touched)
+            # bitmask: mark EVERY ray as touching both families
+            touched = jnp.full_like(touched, 3)
         return gacc, rad_out, touched
 
     prb.prb_grad_compacted = all_touched
@@ -98,9 +99,11 @@ def test_subset_branch_taken_and_nonzero():
     _, _, touched = prb.prb_grad_compacted(
         scene, ro, rd, key, 6, rad, jnp.ones_like(rad)
     )
-    frac = float(jnp.mean(touched.astype(jnp.float32)))
+    frac = float(jnp.mean((touched != 0).astype(jnp.float32)))
     cap = max(256, ro.shape[0] // 8)
-    assert float(jnp.sum(touched)) <= cap, (frac, cap)
+    assert float(jnp.sum(touched != 0)) <= cap, (frac, cap)
+    # both families are present and (mostly) disjoint in this scene
+    assert int(jnp.sum(touched & 1)) > 0 and int(jnp.sum(touched & 2)) > 0
 
     g = _grads(scene, ro, rd, key, 6)
     assert float(jnp.abs(g.fuzz).max()) > 0.0
