@@ -95,6 +95,11 @@ def _kernel(blive_ref, texel_ref, cr_ref, cg_ref, cb_ref, g_in, g_out):
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
 
     def row_body(r, _):
+        # Round-5 ablations on the live path (scratch/exp_r5_scatter2):
+        # of the remaining ~24 ms/pass, the three (8, 128) RMWs cost
+        # ~1 ms and a branch-free masked-RMW variant measured WORSE
+        # (+4 ms) — the per-row cost is the serial SMEM load + address
+        # math itself, so the branched form stays.
         t = texel_ref[r]
 
         @pl.when(t >= 0)
