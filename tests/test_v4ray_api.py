@@ -232,3 +232,51 @@ def test_moving_sphere_api_and_plugin():
     assert np.isfinite(img).all()
     # the red streak is visible somewhere
     assert (img[:, :, 0] - img[:, :, 1]).max() > 0.01
+
+
+def test_user_defined_shape():
+    """Scene.add is duck-typed on _build: a user-defined composite
+    shape (a ring of spheres) renders through the normal pipeline —
+    the working counterpart of the reference's PyHittable extension
+    point, whose own conversion is todo!() for everything but Sphere
+    (reference src/hittable/py.rs:142-153)."""
+    import math
+
+    import v4ray_tpu as v4ray
+
+    class Ring:
+        """User shape: N small spheres on a circle."""
+
+        def __init__(self, center, radius, n=8, r_small=0.25):
+            self.center, self.radius = center, radius
+            self.n, self.r_small = n, r_small
+
+        def _build(self, b, material, important):
+            cx, cy, cz = self.center
+            for i in range(self.n):
+                a = 2 * math.pi * i / self.n
+                b.add_sphere(
+                    (cx + self.radius * math.cos(a), cy,
+                     cz + self.radius * math.sin(a)),
+                    self.r_small, material, important=important,
+                )
+
+    scene = v4ray.Scene(background=(0.6, 0.7, 0.9))
+    red = v4ray.material.Lambertian(
+        v4ray.texture.SolidColor((0.8, 0.2, 0.2)))
+    scene.add(Ring((0.0, 0.0, -3.0), 1.2), red)
+    compiled = scene.compile()
+    assert compiled.n_spheres == 8
+
+    r = v4ray.Renderer(
+        v4ray.RendererParam(32, 32, 4),
+        v4ray.PerspectiveCameraParam(
+            look_from=(0, 2.5, 1.5), look_at=(0, 0, -3), vfov=60
+        ),
+        scene,
+    )
+    import asyncio
+
+    img = np.asarray(asyncio.run(r.render()))
+    # the ring reads as red excess over blue against the blue-ish sky
+    assert ((img[..., 0] - img[..., 2]) > 0.05).sum() > 10

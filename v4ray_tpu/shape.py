@@ -4,7 +4,18 @@ reference only reaches through JSON.
 
 Each shape knows how to register itself into a SceneBuilder
 (``_build``) and exposes the reference's ``bounding_box`` / batched
-``hit`` methods for direct use from Python."""
+``hit`` methods for direct use from Python.
+
+USER-DEFINED SHAPES: ``Scene.add`` is duck-typed on ``_build(builder,
+material, important)`` — any object implementing it participates in
+rendering by composing builder primitives (spheres, rects, triangles,
+media), exactly like ConstantMedium/Mesh below do.  This is the
+TPU-native answer to the reference's ``PyHittable`` duck-typing
+(src/hittable/py.rs:142-153): a per-ray Python ``hit()`` callback is
+incompatible with a traced wavefront — and the reference's own
+conversion is ``todo!()`` for everything but Sphere, so it never
+rendered either — whereas table composition actually renders, at full
+kernel speed (tests/test_v4ray_api.py::test_user_defined_shape)."""
 
 from __future__ import annotations
 
