@@ -49,12 +49,15 @@ class RendererParam:
 
 def _pick_tile_size(n_rays: int, n_prims: int, grid_budget: int = 4_194_304) -> int:
     """Bound the (tile × primitives) candidate grid to ``grid_budget``
-    entries (16 MB of f32 at the default).  Cap at 128k rays: measured
-    at 1024² on zy (TPU v5e), 131072 beats 65536 by 12% (fewer per-tile
-    fixed costs) while 262144+ regresses (compaction argsorts)."""
+    entries (16 MB of f32 at the default).  Cap at 64k rays: re-measured
+    round 5 at 1024² on zy (TPU v5e) after the fusion/schedule changes —
+    65536 beats 131072 by 7% on the plain render pass (267 vs 287 ms)
+    and by ~0.6% on the gradient pass; 262144+ still regresses on the
+    compaction argsorts.  (Round 3 measured the opposite ranking under
+    the old fusion regime; the A/B lives in scratch/exp_r5_tile.py.)"""
     budget = grid_budget // max(n_prims, 1)
     tile = 512
-    while tile * 2 <= min(budget, n_rays, 131072):
+    while tile * 2 <= min(budget, n_rays, 65536):
         tile *= 2
     return tile
 
