@@ -151,6 +151,38 @@ class RectO:
         return _unit(p - origin)
 
 
+class ConstantMediumO:
+    """Constant-density participating medium over any boundary shape
+    (constant_medium.rs:40-86, quirks preserved: the flight distance
+    is measured against the [max(t1, 0), t2] window but the reported t
+    is ``t1 + flight`` from the RAW first hit)."""
+
+    def __init__(self, boundary, density):
+        self.boundary = boundary
+        self.neg_inv_density = -1.0 / density
+
+    def hit(self, ro, rd, t_min, t_max, rng=None):
+        h1 = self.boundary.hit(ro, rd, -math.inf, math.inf)
+        if h1 is None:
+            return None
+        h2 = self.boundary.hit(ro, rd, h1["t"] + EPS, math.inf)
+        if h2 is None:
+            return None
+        lo = max(h1["t"], t_min)
+        hi = min(h2["t"], t_max)
+        if lo >= hi:
+            return None
+        lo0 = max(lo, 0.0)
+        inside = hi - lo0
+        flight = self.neg_inv_density * math.log(rng.uniform())
+        if flight > inside:
+            return None
+        t = h1["t"] + flight
+        return dict(t=t, p=ro + t * rd,
+                    normal=np.array([1.0, 0.0, 0.0]), front=True,
+                    uv=(0.0, 0.0))
+
+
 def _face_towards(direction):
     """Rotation whose +z is ``direction`` (nalgebra
     Rotation3::face_towards as used by CosinePdf/sphere sampling:
@@ -315,7 +347,10 @@ def ray_color(scene, ro, rd, depth, rng):
     best = None
     best_mat = None
     for shape, mat in scene.objects:
-        rec = shape.hit(ro, rd, EPS, math.inf)
+        if isinstance(shape, ConstantMediumO):  # stochastic hit
+            rec = shape.hit(ro, rd, EPS, math.inf, rng)
+        else:
+            rec = shape.hit(ro, rd, EPS, math.inf)
         if rec is not None and (best is None or rec["t"] < best["t"]):
             best, best_mat = rec, mat
     if best is None:

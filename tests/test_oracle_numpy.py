@@ -121,7 +121,44 @@ def weekend_scenes():
     return scene, cam, o, ocam, 6
 
 
-@pytest.mark.parametrize("maker", [cornell_scenes, weekend_scenes])
+def smoke_scenes():
+    """Constant-medium class: an isotropic smoke ball over a bright
+    floor with a rect light — exercises the stochastic medium double
+    hit (constant_medium.rs quirks) and the isotropic phase."""
+    b = SceneBuilder(background=(0.1, 0.1, 0.12))
+    white = b.add_texture_solid((0.8, 0.8, 0.8))
+    lite = b.add_texture_solid((5.0, 5.0, 5.0))
+    gray = b.add_texture_solid((0.6, 0.6, 0.6))
+    m_floor = b.add_lambertian(white)
+    m_light = b.add_diffuse_light(lite)
+    m_smoke = b.add_isotropic(gray)
+    b.add_rect(2, -3.0, 3.0, -3.0, 3.0, 0.0, m_floor, positive=True)
+    b.add_rect(2, -1.0, 1.0, -1.0, 1.0, 3.5, m_light, positive=False,
+               important=True)
+    b.add_medium(1.2, m_smoke, spheres=[((0.0, 1.0, 0.0), 0.9)])
+    scene = b.build()
+
+    o = onp.OracleScene(background=(0.1, 0.1, 0.12),
+                        environment=(0.0, 0.0, 0.0))
+    o.add(onp.RectO((2, 0, 1), -3, 3, -3, 3, 0.0, True),
+          onp.LambertianM(onp.Solid((0.8, 0.8, 0.8))))
+    o.add(onp.RectO((2, 0, 1), -1, 1, -1, 1, 3.5, False),
+          onp.DiffuseLightM(onp.Solid((5.0, 5.0, 5.0))), important=True)
+    o.add(onp.ConstantMediumO(onp.SphereO((0.0, 1.0, 0.0), 0.9), 1.2),
+          onp.IsotropicM(onp.Solid((0.6, 0.6, 0.6))))
+
+    cam = CameraParam(
+        look_from=(0.0, 1.6, 4.0), look_at=(0.0, 0.9, 0.0), vfov=45.0,
+        up=(0.0, 1.0, 0.0), aperture=0.0, focus_dist=4.0,
+    )
+    ocam = onp.OracleCamera((0.0, 1.6, 4.0), (0.0, 0.9, 0.0), 45.0,
+                            W / H, aperture=0.0, focus_dist=4.0)
+    return scene, cam, o, ocam, 8
+
+
+@pytest.mark.parametrize(
+    "maker", [cornell_scenes, weekend_scenes, smoke_scenes]
+)
 def test_production_matches_independent_oracle(maker):
     scene, cam, oracle_scene, ocam, depth = maker()
 
