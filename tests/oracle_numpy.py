@@ -53,6 +53,23 @@ class CheckerTex:
         return (self.even if sines > 0 else self.odd).value(uv, p)
 
 
+class ImageTex:
+    """Nearest-neighbor image lookup (image.rs:26-72: clamp u and v to
+    [0, 1], FLIP v, scale by width/height, truncate, clamp to the last
+    row/column, /255)."""
+
+    def __init__(self, array_u8):
+        self.img = np.asarray(array_u8)  # (H, W, 3) u8
+
+    def value(self, uv, p):
+        h, w = self.img.shape[:2]
+        u = min(max(uv[0], 0.0), 1.0)
+        v = 1.0 - min(max(uv[1], 0.0), 1.0)
+        i = min(int(w * u), w - 1)
+        j = min(int(h * v), h - 1)
+        return self.img[j, i].astype(np.float64) / 255.0
+
+
 # -- shapes (sphere.rs, aa_rect.rs) ------------------------------------
 
 

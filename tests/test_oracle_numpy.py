@@ -156,8 +156,41 @@ def smoke_scenes():
     return scene, cam, o, ocam, 8
 
 
+def earthmap_scenes():
+    """Image-texture class: the earthmap sphere under a sky — pins the
+    sphere-uv mapping (theta/phi from the outward normal) and the
+    clamp/flip-v/nearest/255 atlas lookup chain independently."""
+    import os
+
+    from PIL import Image as PILImage
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "earthmap.jpg")
+    with PILImage.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+
+    b = SceneBuilder(background=(0.75, 0.8, 0.9))
+    earth = b.add_texture_image(arr)
+    b.add_sphere((0.0, 0.0, -1.6), 0.8, b.add_lambertian(earth))
+    scene = b.build()
+
+    o = onp.OracleScene(background=(0.75, 0.8, 0.9),
+                        environment=(0.0, 0.0, 0.0))
+    o.add(onp.SphereO((0.0, 0.0, -1.6), 0.8),
+          onp.LambertianM(onp.ImageTex(arr)))
+
+    cam = CameraParam(
+        look_from=(0.0, 0.3, 1.0), look_at=(0.0, 0.0, -1.6), vfov=45.0,
+        up=(0.0, 1.0, 0.0), aperture=0.0, focus_dist=2.6,
+    )
+    ocam = onp.OracleCamera((0.0, 0.3, 1.0), (0.0, 0.0, -1.6), 45.0,
+                            W / H, aperture=0.0, focus_dist=2.6)
+    return scene, cam, o, ocam, 4
+
+
 @pytest.mark.parametrize(
-    "maker", [cornell_scenes, weekend_scenes, smoke_scenes]
+    "maker", [cornell_scenes, weekend_scenes, smoke_scenes,
+              earthmap_scenes]
 )
 def test_production_matches_independent_oracle(maker):
     scene, cam, oracle_scene, ocam, depth = maker()
