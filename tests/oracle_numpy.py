@@ -168,6 +168,43 @@ class RectO:
         return _unit(p - origin)
 
 
+class TransformO:
+    """Instancing transform over any shape (transform.rs:53-125,
+    quirks preserved: the object is hit in object space with the
+    window scaled by |inv·d|, the hit point maps back through M, and
+    the NORMAL maps through M too — not its inverse transpose)."""
+
+    def __init__(self, shape, m, t):
+        self.shape = shape
+        self.m = np.asarray(m, np.float64)
+        self.t = np.asarray(t, np.float64)
+        self.inv = np.linalg.inv(self.m)
+        self.inv_t = -self.inv @ self.t
+
+    def hit(self, ro, rd, t_min, t_max):
+        d = self.inv @ rd
+        norm = np.linalg.norm(d)
+        rec = self.shape.hit(self.inv @ ro + self.inv_t, d / norm,
+                             t_min * norm, t_max * norm)
+        if rec is None:
+            return None
+        rec = dict(rec)
+        rec["p"] = self.m @ rec["p"] + self.t
+        rec["normal"] = _unit(self.m @ rec["normal"])
+        rec["t"] = rec["t"] / norm
+        return rec
+
+    # Samplable (transform.rs:99-125)
+    def pdf_value(self, origin, direction):
+        o = self.inv @ origin + self.inv_t
+        d = self.inv @ direction
+        return self.shape.pdf_value(o, _unit(d))
+
+    def generate(self, origin, rng):
+        o = self.inv @ origin + self.inv_t
+        return _unit(self.m @ self.shape.generate(o, rng))
+
+
 class ConstantMediumO:
     """Constant-density participating medium over any boundary shape
     (constant_medium.rs:40-86, quirks preserved: the flight distance

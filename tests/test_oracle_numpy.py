@@ -188,9 +188,64 @@ def earthmap_scenes():
     return scene, cam, o, ocam, 4
 
 
+def transform_scenes():
+    """Instancing-transform class: a rotated+scaled (ellipsoid) sphere
+    and a ROTATED rect light sampled as an important light — pins the
+    object-space hit, the |inv d| window/t normalization, the
+    M-mapped normal quirk, and the transformed Samplable pdf chain."""
+    import math
+
+    ang = math.radians(30.0)
+    rot = np.array([
+        [math.cos(ang), 0.0, math.sin(ang)],
+        [0.0, 1.0, 0.0],
+        [-math.sin(ang), 0.0, math.cos(ang)],
+    ], np.float32)
+    scale = np.diag([1.4, 0.8, 1.0]).astype(np.float32)
+    m_sph = rot @ scale
+    t_sph = np.array([0.0, 0.6, 0.0], np.float32)
+    tilt = math.radians(25.0)
+    m_lit = np.array([
+        [1.0, 0.0, 0.0],
+        [0.0, math.cos(tilt), -math.sin(tilt)],
+        [0.0, math.sin(tilt), math.cos(tilt)],
+    ], np.float32)
+    t_lit = np.array([0.0, 3.0, 0.0], np.float32)
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.12))
+    white = b.add_texture_solid((0.75, 0.75, 0.75))
+    red = b.add_texture_solid((0.7, 0.25, 0.2))
+    lite = b.add_texture_solid((5.0, 5.0, 5.0))
+    b.add_rect(2, -3.0, 3.0, -3.0, 3.0, 0.0, b.add_lambertian(white),
+               positive=True)
+    b.add_sphere((0.0, 0.0, 0.0), 0.7, b.add_lambertian(red),
+                 transform=(m_sph, t_sph))
+    b.add_rect(2, -0.8, 0.8, -0.8, 0.8, 0.0, b.add_diffuse_light(lite),
+               positive=False, important=True, transform=(m_lit, t_lit))
+    scene = b.build()
+
+    o = onp.OracleScene(background=(0.1, 0.1, 0.12),
+                        environment=(0.0, 0.0, 0.0))
+    o.add(onp.RectO((2, 0, 1), -3, 3, -3, 3, 0.0, True),
+          onp.LambertianM(onp.Solid((0.75, 0.75, 0.75))))
+    o.add(onp.TransformO(onp.SphereO((0.0, 0.0, 0.0), 0.7), m_sph, t_sph),
+          onp.LambertianM(onp.Solid((0.7, 0.25, 0.2))))
+    o.add(onp.TransformO(onp.RectO((2, 0, 1), -0.8, 0.8, -0.8, 0.8, 0.0,
+                                   False), m_lit, t_lit),
+          onp.DiffuseLightM(onp.Solid((5.0, 5.0, 5.0))), important=True)
+
+    cam = CameraParam(
+        look_from=(0.0, 1.6, 4.2), look_at=(0.0, 0.7, 0.0), vfov=42.0,
+        up=(0.0, 1.0, 0.0), aperture=0.0, focus_dist=4.2,
+    )
+    ocam = onp.OracleCamera((0.0, 1.6, 4.2), (0.0, 0.7, 0.0), 42.0,
+                            W / H, aperture=0.0, focus_dist=4.2)
+    return scene, cam, o, ocam, 6
+
+
 @pytest.mark.parametrize(
     "maker", [cornell_scenes, weekend_scenes, smoke_scenes,
-              earthmap_scenes]
+              earthmap_scenes, transform_scenes]
 )
 def test_production_matches_independent_oracle(maker):
     scene, cam, oracle_scene, ocam, depth = maker()
