@@ -26,6 +26,8 @@ any layout of the same rays.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -179,6 +181,135 @@ def trace(
     return rad
 
 
+def compact_wavefront(alive, fmats, ivecs, mode: str | None = None):
+    """Stable alive-first partition of the wavefront state.
+
+    ``fmats``: f32 arrays of shape (n,) or (n, k); ``ivecs``: (n,)
+    int32 / bool arrays (``alive`` itself is passed separately and
+    returned first).  Every mode applies the SAME permutation — the
+    stable partition by ``~alive`` is unique — so the outputs are
+    bit-identical across modes; the mode is purely an execution
+    strategy (like compaction itself):
+
+    * ``gather``: ``argsort(~alive)`` + one gather per array (the
+      round-2..5 form).
+    * ``fused``: same argsort, but ALL columns are packed (ints
+      bitcast, not converted) into one (n, K) f32 matrix and permuted
+      with ONE row gather.  Random-index gathers ride the TPU scalar
+      core (~2 ms per 64k lookups, CLAUDE.md hazard 4), so one gather
+      of 64-byte rows beats ~16 gathers of 4-byte scalars — the same
+      trick as tape_sweep's fused ``[g | rad_total]`` gather.
+    * ``sort``: one variadic ``lax.sort`` moving every column through
+      the sorting network alongside the key.
+
+    Default: ``RAY_TPU_COMPACT`` env var, else ``sort`` — the
+    interleaved whole-pass A/B on TPU v5e at 1024² measured 251.7
+    (sort) vs 288.4 (fused) vs 297.9 (gather) ms/pass full-parameter
+    fwd+bwd: a bool-keyed variadic sort beats argsort + scalar-core
+    gathers outright (docs/PERFORMANCE.md).
+
+    Returns ``(alive_sorted, fmats_sorted, ivecs_sorted)``.
+    """
+    if mode is None:
+        mode = os.environ.get("RAY_TPU_COMPACT", "sort")
+    key = ~alive
+    if mode == "sort":
+        cols = []
+        splits = []  # (kind, ncols, orig_shape/dtype info)
+        for f in fmats:
+            f2 = f.reshape(f.shape[0], -1)
+            splits.append(("f", f2.shape[1], f.shape))
+            cols.extend(f2[:, j] for j in range(f2.shape[1]))
+        for v in ivecs:
+            splits.append(("i", 1, v.dtype))
+            cols.append(v)
+        out = jax.lax.sort((key, alive) + tuple(cols), num_keys=1,
+                           is_stable=True)
+        alive_s = out[1]
+        rest = list(out[2:])
+        fout, iout = [], []
+        for kind, ncols, info in splits:
+            if kind == "f":
+                taken, rest = rest[:ncols], rest[ncols:]
+                fout.append(jnp.stack(taken, axis=1).reshape(info))
+            else:
+                iout.append(rest.pop(0))
+        return alive_s, fout, iout
+    order = jnp.argsort(key, stable=True)
+    if mode == "gather":
+        return (
+            alive[order],
+            [f[order] for f in fmats],
+            [v[order] for v in ivecs],
+        )
+    assert mode == "fused", f"unknown RAY_TPU_COMPACT mode {mode!r}"
+    n = alive.shape[0]
+    parts = [f.reshape(n, -1) for f in fmats]
+    fcols = sum(p.shape[1] for p in parts)
+    ints = [alive] + list(ivecs)
+    parts += [
+        jax.lax.bitcast_convert_type(
+            v.astype(jnp.int32), jnp.float32
+        ).reshape(n, 1)
+        for v in ints
+    ]
+    packed = jnp.concatenate(parts, axis=1)[order]
+    fout, at = [], 0
+    for f in fmats:
+        k = f.reshape(n, -1).shape[1]
+        fout.append(packed[:, at:at + k].reshape(f.shape))
+        at += k
+    iraw = [
+        jax.lax.bitcast_convert_type(packed[:, fcols + j], jnp.int32)
+        for j in range(len(ints))
+    ]
+    alive_s = iraw[0] != 0
+    iout = [
+        r.astype(jnp.bool_) if v.dtype == jnp.bool_ else r.astype(v.dtype)
+        for r, v in zip(iraw[1:], ivecs)
+    ]
+    return alive_s, fout, iout
+
+
+def unsort_wavefront(pos, fmats, ivecs, mode: str | None = None):
+    """Undo a tracked permutation: returns arrays ``out`` with
+    ``out[pos[i]] = in[i]`` (``pos`` is a permutation of [0, n)).
+
+    Modes (bit-identical results, execution strategy only):
+
+    * ``scatter``: one ``zeros.at[pos].set(x)`` per array (the
+      round-2..5 form).
+    * ``sort``: ONE variadic ``lax.sort`` keyed by ``pos`` — sorting
+      rows by their destination index IS the inverse permutation, and
+      the TPU's vectorized sorting network beats per-row scatters just
+      as it beats scalar-core gathers (compact_wavefront).
+
+    Default: ``RAY_TPU_UNSORT`` env var, else ``sort``.
+    """
+    if mode is None:
+        mode = os.environ.get("RAY_TPU_UNSORT", "sort")
+    if mode == "scatter":
+        return (
+            [jnp.zeros_like(f).at[pos].set(f) for f in fmats],
+            [jnp.zeros_like(v).at[pos].set(v) for v in ivecs],
+        )
+    assert mode == "sort", f"unknown RAY_TPU_UNSORT mode {mode!r}"
+    cols = []
+    fsplits = []
+    for f in fmats:
+        f2 = f.reshape(f.shape[0], -1)
+        fsplits.append((f2.shape[1], f.shape))
+        cols.extend(f2[:, j] for j in range(f2.shape[1]))
+    out = jax.lax.sort((pos,) + tuple(cols) + tuple(ivecs), num_keys=1,
+                       is_stable=False)
+    rest = list(out[1:])
+    fout = []
+    for ncols, shape in fsplits:
+        taken, rest = rest[:ncols], rest[ncols:]
+        fout.append(jnp.stack(taken, axis=1).reshape(shape))
+    return fout, rest
+
+
 def stage_schedule(max_depth: int, stage_bounces: int) -> list:
     """Bounce counts per compaction stage.
 
@@ -193,7 +324,13 @@ def stage_schedule(max_depth: int, stage_bounces: int) -> list:
 
     Shared by trace_compacted and render/prb.py's replay — the two MUST
     walk the same schedule for path replay to reproduce the forward.
+    ``RAY_TPU_STAGE_BOUNCES`` overrides the width (every caller flows
+    through this function, so forward/tape/replay stay in lock-step) —
+    a tuning knob only; results are bit-identical across schedules.
     """
+    stage_bounces = int(
+        os.environ.get("RAY_TPU_STAGE_BOUNCES", stage_bounces)
+    )
     sizes = []
     left = max_depth
     while left > 0 and len(sizes) < 2:
@@ -213,8 +350,11 @@ def default_chunk_div(n: int) -> int:
     compacted loop's divisibility requirement, e.g. a 73736-ray shard
     gets 8 chunks of 9217 instead of tripping the n % 9 assert.
     Shared by trace_compacted and the PRB replay — the two MUST agree
-    for path replay to reproduce the forward."""
-    target = max(8, n // 8192)
+    for path replay to reproduce the forward.  ``RAY_TPU_CHUNK_TARGET``
+    overrides the ~8192-ray chunk target (tuning knob; bit-identical
+    across values)."""
+    tgt = int(os.environ.get("RAY_TPU_CHUNK_TARGET", 8192))
+    target = max(8, n // tgt)
     for d in range(target, 0, -1):
         if n % d == 0:
             return d
@@ -236,6 +376,94 @@ def bounded_bounce_loop(bounces: int, body, carry, alive_of):
 
     _, carry = jax.lax.while_loop(cond, step, (jnp.int32(0), carry))
     return carry
+
+
+def trace_subset_dot(
+    scene: SceneData,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    g: jnp.ndarray,
+    alive0: jnp.ndarray,
+    ids0: jnp.ndarray,
+    *,
+    stage_bounces: int = 4,
+    chunk_div: int | None = None,
+) -> jnp.ndarray:
+    """``vdot(g, radiance)`` of a gathered ray subset, compacted.
+
+    The scalar-tangent pass (render/prb_scalar.py) only needs the
+    tangent of this one scalar, so its jacfwd replay does not have to
+    drag the PRB replay's full carry (g, rad_total, pos, touched and
+    the gradient accumulators — 6 extra f32 sort columns and loop
+    slots) through every bounce.  This is the minimal compacted
+    replay: carry = (rad, thr, ro, rd, alive, ids, pos); uniforms are
+    keyed by the ABSOLUTE ``ids0`` so the gathered subset replays its
+    paths bit-exactly (ops/rng.ray_uniforms), and the final dot gathers
+    ``g`` by the tracked input position instead of unsorting the
+    radiance.  Rays with ``alive0`` unset cost one sort slot and
+    nothing more (a dead lane accumulates nothing, including the
+    depth-exhaustion environment term).
+
+    Radiance-equality with the PRB replay's radiance output is pinned
+    by tests; JVP-compatible throughout (while_loop trip counts need
+    no transpose in forward mode).
+    """
+    n = ro.shape[0]
+    if chunk_div is None:
+        chunk_div = default_chunk_div(n)
+    chunk = n // chunk_div
+    assert chunk * chunk_div == n
+
+    rad = jnp.zeros((n, 3), jnp.float32)
+    thr = jnp.ones((n, 3), jnp.float32)
+    alive = alive0
+    ids = ids0
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    offset = 0
+    for stage, bounces in enumerate(stage_schedule(max_depth, stage_bounces)):
+        alive, (rad, thr, ro, rd), (ids, pos) = compact_wavefront(
+            alive, [rad, thr, ro, rd], [ids, pos]
+        )
+        alive_count = jnp.sum(alive.astype(jnp.int32))
+
+        def chunk_body(state, _offset=offset, _bounces=bounces):
+            ci, rad, thr, ro, rd, alive, ids = state
+            start = ci * chunk
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
+            c_carry = (
+                sl(rad), sl(thr), sl(ro), sl(rd), sl(alive), sl(ids),
+                jnp.zeros((), jnp.float32),
+            )
+
+            def bodyc(b, c):
+                return _bounce(scene, key, _offset + b, c,
+                               count_segments=False)
+
+            outs = bounded_bounce_loop(_bounces, bodyc, c_carry,
+                                       lambda c: c[4])
+            upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(
+                x, v, start, 0
+            )
+            return (
+                ci + 1,
+                upd(rad, outs[0]), upd(thr, outs[1]), upd(ro, outs[2]),
+                upd(rd, outs[3]), upd(alive, outs[4]), upd(ids, outs[5]),
+            )
+
+        def chunk_cond(state, _alive_count=alive_count):
+            return state[0] * chunk < _alive_count
+
+        _, rad, thr, ro, rd, alive, ids = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), rad, thr, ro, rd, alive, ids),
+        )
+        offset += bounces
+
+    rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
+    return jnp.vdot(g[pos], rad)
 
 
 def trace_compacted(
@@ -314,13 +542,9 @@ def trace_compacted(
         rad, thr, ro, rd, alive, ids, segments = carry[:7]
         hrows = carry[7] if fusion_hint else None
         # compact: alive rays first (stable keeps pixel coherence)
-        order = jnp.argsort(~alive, stable=True)
-        rad = rad[order]
-        thr = thr[order]
-        ro = ro[order]
-        rd = rd[order]
-        alive = alive[order]
-        ids = ids[order]
+        alive, (rad, thr, ro, rd), (ids,) = compact_wavefront(
+            alive, [rad, thr, ro, rd], [ids]
+        )
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
         def chunk_body(state, _offset=offset, _bounces=bounces):
@@ -374,7 +598,7 @@ def trace_compacted(
     rad, thr, ro, rd, alive, ids, segments = carry[:7]
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
     # unsort: sorted position i belongs to pixel ids[i] - ids_base
-    rad_out = jnp.zeros_like(rad).at[ids - ids_base].set(rad)
+    (rad_out,), _ = unsort_wavefront(ids - ids_base, [rad], [])
     outs = (rad_out,)
     if with_stats:
         outs = outs + (segments,)

@@ -384,17 +384,14 @@ def prb_grad_compacted(
             offset += bounces
             continue
 
-        order = jnp.argsort(~alive, stable=True)
-        rad = rad[order]
-        thr = thr[order]
-        ro = ro[order]
-        rd = rd[order]
-        alive = alive[order]
-        ids = ids[order]
-        pos = pos[order]
-        touched = touched[order]
-        g = g[order]
-        rad_total = rad_total[order]
+        from ray_tracing_tpu.render.integrator import compact_wavefront
+
+        alive, (rad, thr, ro, rd, g, rad_total), (ids, pos, touched) = (
+            compact_wavefront(
+                alive, [rad, thr, ro, rd, g, rad_total],
+                [ids, pos, touched],
+            )
+        )
         alive_count = jnp.sum(alive.astype(jnp.int32))
 
         def chunk_body(state, _offset=offset):
@@ -435,8 +432,9 @@ def prb_grad_compacted(
         offset += bounces
 
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    rad_out = jnp.zeros_like(rad).at[pos].set(rad)
-    touched_out = jnp.zeros((n,), jnp.int32).at[pos].set(touched)
+    from ray_tracing_tpu.render.integrator import unsort_wavefront
+
+    (rad_out,), (touched_out,) = unsort_wavefront(pos, [rad], [touched])
     return gacc, rad_out, touched_out
 
 

@@ -162,6 +162,10 @@ def _tangent_batches(
     # measured ~100 ms/pass slower at 1024².
     order = jnp.argsort(~mask, stable=True)
 
+    import os as _os
+
+    lean = compaction and _os.environ.get("RAY_TPU_LEAN_TANGENT", "1") != "0"
+
     def batch_val(theta, start):
         # dynamic_slice CLAMPS an out-of-range start to n - cap, so
         # compute the clamped window explicitly and mask each row by
@@ -173,10 +177,22 @@ def _tangent_batches(
         st = jnp.minimum(start, jnp.int32(n - cap))
         sub = jax.lax.dynamic_slice_in_dim(order, st, cap)
         ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
-        rad_s = rad[sub]
         pos = st + jnp.arange(cap, dtype=jnp.int32)
         alive_s = (pos >= start) & (pos < count)
 
+        if lean:
+            # minimal compacted replay: only the vdot(g, rad) scalar is
+            # needed under jacfwd, so skip the PRB replay's g/rad_total/
+            # touched/gacc carries entirely (integrator.trace_subset_dot)
+            from ray_tracing_tpu.render.integrator import trace_subset_dot
+
+            kw = {"chunk_div": tangent_chunk_div} if tangent_chunk_div else {}
+            return trace_subset_dot(
+                scene_of(theta), ro_s, rd_s, key, max_depth,
+                g_s, alive_s, ids_base + sub, **kw,
+            )
+
+        rad_s = rad[sub]
         # default chunk division (the dense replay has none)
         kw = (
             {"chunk_div": tangent_chunk_div}

@@ -63,6 +63,7 @@ from ray_tracing_tpu.ops.materials import N_SCATTER_U, shade
 from ray_tracing_tpu.ops.rng import ray_uniforms
 from ray_tracing_tpu.render.integrator import (
     bounded_bounce_loop,
+    compact_wavefront,
     default_chunk_div,
     stage_schedule,
 )
@@ -215,14 +216,9 @@ def trace_taped(
             continue
 
         rad, thr, ro, rd, alive, ids, touched, rows = carry
-        order = jnp.argsort(~alive, stable=True)
-        rad = rad[order]
-        thr = thr[order]
-        ro = ro[order]
-        rd = rd[order]
-        alive = alive[order]
-        ids = ids[order]
-        touched = touched[order]
+        alive, (rad, thr, ro, rd), (ids, touched) = compact_wavefront(
+            alive, [rad, thr, ro, rd], [ids, touched]
+        )
         alive_count = jnp.sum(alive.astype(jnp.int32))
         stage_ids = stage_ids.at[stage].set(ids - ids_base)
         alive_counts = alive_counts.at[stage].set(alive_count)
@@ -273,8 +269,11 @@ def trace_taped(
 
     rad, thr, ro, rd, alive, ids, touched, rows = carry
     rad = rad + jnp.where(alive[:, None], thr * scene.environment[None, :], 0.0)
-    rad_out = jnp.zeros_like(rad).at[ids - ids_base].set(rad)
-    touched_out = jnp.zeros((n,), jnp.int32).at[ids - ids_base].set(touched)
+    from ray_tracing_tpu.render.integrator import unsort_wavefront
+
+    (rad_out,), (touched_out,) = unsort_wavefront(
+        ids - ids_base, [rad], [touched]
+    )
     tape = PrbTape(*rows, stage_ids=stage_ids, alive_counts=alive_counts)
     return rad_out, touched_out, tape
 
