@@ -34,8 +34,11 @@ SUB = 8  # f32 sublane granularity
 ROW_CHUNK = 1024  # scatter rows per grid step (SMEM resident); must
 # match XLA's T(1024) tiling for 1-D s32/f32 operands or Mosaic rejects
 # the layout ("XLA layout {0:T(1024)S(1)} does not match Mosaic")
-SKIP_BLOCK = 8  # rows per block-skip flag (see _kernel); ROW_CHUNK /
-# SKIP_BLOCK must be a multiple of 128 (1-D SMEM block tiling)
+def _skip_block() -> int:
+    """Rows per block-skip flag (see _kernel); ``RAY_TPU_SCATTER_SKIP``
+    is read per call — a tuning knob only (sums are identical for any
+    divisor of ROW_CHUNK)."""
+    return int(os.environ.get("RAY_TPU_SCATTER_SKIP", 8))
 
 # planar accumulator budget: 3 * P floats; keep well under VMEM
 MAX_PLANAR_TEXELS = 1 << 21  # 2M texels -> 24 MB... gated tighter below
@@ -68,7 +71,8 @@ def from_planar(gplanar: jnp.ndarray, p: int) -> jnp.ndarray:
     return gplanar.reshape(3, -1)[:, :p].T
 
 
-def _kernel(blive_ref, texel_ref, cr_ref, cg_ref, cb_ref, g_in, g_out):
+def _kernel(clive_ref, blive_ref, texel_ref, cr_ref, cg_ref, cb_ref,
+            g_in, g_out, *, skip_block):
     """One grid step: accumulate ROW_CHUNK rows into the planar table.
 
     The table stays resident in VMEM across grid steps (constant index
@@ -120,19 +124,24 @@ def _kernel(blive_ref, texel_ref, cr_ref, cg_ref, cb_ref, g_in, g_out):
         # blive is broadcast to row granularity (XLA's 1-D SMEM layout
         # is T(1024); a (ROW_CHUNK/SKIP_BLOCK,) operand would need its
         # own incompatible tiling) — one flag read per block
-        @pl.when(blive_ref[b * SKIP_BLOCK] != 0)
+        @pl.when(blive_ref[b * skip_block] != 0)
         def _():
             jax.lax.fori_loop(
-                b * SKIP_BLOCK, (b + 1) * SKIP_BLOCK, row_body, 0
+                b * skip_block, (b + 1) * skip_block, row_body, 0
             )
 
         return 0
 
-    jax.lax.fori_loop(0, texel_ref.shape[0] // SKIP_BLOCK, blk_body, 0)
+    # chunk-level skip: a grid step whose whole ROW_CHUNK is masked out
+    # costs one scalar test (gradient sweeps are mostly dead tail rows)
+    @pl.when(clive_ref[0] != 0)
+    def _():
+        jax.lax.fori_loop(0, texel_ref.shape[0] // skip_block, blk_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(gplanar, blive, texel, cr, cg, cb, *, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "skip_block"))
+def _run(gplanar, clive, blive, texel, cr, cg, cb, *, interpret,
+         skip_block):
     n = texel.shape[0]
     grid = (n // ROW_CHUNK,)
     chunk_spec = pl.BlockSpec(
@@ -143,15 +152,15 @@ def _run(gplanar, blive, texel, cr, cg, cb, *, interpret):
         gplanar.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, skip_block=skip_block),
         grid=grid,
-        in_specs=[blive_spec, chunk_spec, chunk_spec, chunk_spec, chunk_spec,
-                  table_spec],
+        in_specs=[blive_spec, blive_spec, chunk_spec, chunk_spec,
+                  chunk_spec, chunk_spec, table_spec],
         out_specs=table_spec,
         out_shape=jax.ShapeDtypeStruct(gplanar.shape, jnp.float32),
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         interpret=interpret,
-    )(blive, texel, cr, cg, cb, gplanar)
+    )(clive, blive, texel, cr, cg, cb, gplanar)
 
 
 def scatter_add_planar(gplanar, texel, contrib, mask, interpret: bool = False):
@@ -167,13 +176,20 @@ def scatter_add_planar(gplanar, texel, contrib, mask, interpret: bool = False):
     c = jnp.where(mask[:, None], contrib, 0.0).astype(jnp.float32)
     if pad:
         c = jnp.pad(c, ((0, pad), (0, 0)))
+    sb = _skip_block()
+    blk_live = jnp.max(t.reshape(-1, sb), axis=1) >= 0
     blive = jnp.broadcast_to(
-        (jnp.max(t.reshape(-1, SKIP_BLOCK), axis=1) >= 0)
-        .astype(jnp.int32)[:, None],
-        (t.shape[0] // SKIP_BLOCK, SKIP_BLOCK),
+        blk_live.astype(jnp.int32)[:, None],
+        (t.shape[0] // sb, sb),
     ).reshape(-1)
-    return _run(gplanar, blive, t, c[:, 0], c[:, 1], c[:, 2],
-                interpret=interpret)
+    clive = jnp.broadcast_to(
+        jnp.max(
+            blk_live.reshape(-1, ROW_CHUNK // sb), axis=1
+        ).astype(jnp.int32)[:, None],
+        (t.shape[0] // ROW_CHUNK, ROW_CHUNK),
+    ).reshape(-1)
+    return _run(gplanar, clive, blive, t, c[:, 0], c[:, 1], c[:, 2],
+                interpret=interpret, skip_block=sb)
 
 
 def use_pallas_scatter(p: int) -> bool:

@@ -331,9 +331,10 @@ def stage_schedule(max_depth: int, stage_bounces: int) -> list:
     stage_bounces = int(
         os.environ.get("RAY_TPU_STAGE_BOUNCES", stage_bounces)
     )
+    lead = int(os.environ.get("RAY_TPU_LEAD_STAGES", 2))
     sizes = []
     left = max_depth
-    while left > 0 and len(sizes) < 2:
+    while left > 0 and len(sizes) < lead:
         sizes.append(min(stage_bounces, left))
         left -= sizes[-1]
     if left > 0:

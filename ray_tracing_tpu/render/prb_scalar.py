@@ -165,6 +165,12 @@ def _tangent_batches(
     import os as _os
 
     lean = compaction and _os.environ.get("RAY_TPU_LEAN_TANGENT", "1") != "0"
+    # one packed (n, 9) row gather per batch instead of three (n, 3)
+    # gathers — random-index gathers ride the scalar core and bill per
+    # LOOKUP, so fusing columns is ~3x fewer lookups (same trick as
+    # tape_sweep's [g | rad_total] gather)
+    fuse_gather = _os.environ.get("RAY_TPU_TANGENT_GATHER", "fused") != "split"
+    rog = jnp.concatenate([ro, rd, g], axis=1) if fuse_gather else None
 
     def batch_val(theta, start):
         # dynamic_slice CLAMPS an out-of-range start to n - cap, so
@@ -176,7 +182,11 @@ def _tangent_batches(
         # whenever cap did not divide the touched prefix.)
         st = jnp.minimum(start, jnp.int32(n - cap))
         sub = jax.lax.dynamic_slice_in_dim(order, st, cap)
-        ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
+        if fuse_gather:
+            row = rog[sub]
+            ro_s, rd_s, g_s = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        else:
+            ro_s, rd_s, g_s = ro[sub], rd[sub], g[sub]
         pos = st + jnp.arange(cap, dtype=jnp.int32)
         alive_s = (pos >= start) & (pos < count)
 
@@ -273,12 +283,22 @@ def _scalar_tangent_pass(
     return gfuzz, gir
 
 
-def _assemble_grads(p: AllParams, gacc, gfuzz, gir) -> AllParams:
-    """(gcol, gimg_planar, gmet) + scalars -> AllParams cotangent."""
+def _assemble_grads(
+    p: AllParams, gacc, gfuzz, gir, planar_images: bool = False
+) -> AllParams:
+    """(gcol, gimg_planar, gmet) + scalars -> AllParams cotangent.
+
+    ``planar_images`` keeps the image gradient in the scatter kernel's
+    channel-planar ``(3, rows, 128)`` layout instead of converting to
+    the atlas shape — tiled callers summing many tile gradients convert
+    ONCE at the end (``image_grads_from_planar``); the per-tile
+    transpose of the ~6 MB table was real time (docs/PERFORMANCE.md)."""
     from ray_tracing_tpu.ops.pallas_scatter import from_planar
 
     gcol, gimg, gmet = gacc
-    if p.images.size:
+    if planar_images:
+        gimg_out = gimg
+    elif p.images.size:
         gimg_out = from_planar(
             gimg, int(np.prod(p.images.shape[:3]))
         ).reshape(p.images.shape)
@@ -291,6 +311,18 @@ def _assemble_grads(p: AllParams, gacc, gfuzz, gir) -> AllParams:
         fuzz=gfuzz,
         ir=gir,
     )
+
+
+def image_grads_from_planar(gimg_planar, images_shape) -> jnp.ndarray:
+    """Convert a (summed) planar image-gradient table back to the atlas
+    shape — the single end-of-pass counterpart of
+    ``_assemble_grads(planar_images=True)``."""
+    from ray_tracing_tpu.ops.pallas_scatter import from_planar
+
+    p = int(np.prod(images_shape[:3]))
+    if p == 0:
+        return jnp.zeros(images_shape, jnp.float32)
+    return from_planar(gimg_planar, p).reshape(images_shape)
 
 
 def _prb_backward(
@@ -433,6 +465,7 @@ def prb_loss_and_grad_all(
     use_tape: bool = True,
     ids_base: int = 0,
     defer_scalars: bool = False,
+    planar_images: bool = False,
 ):
     """Loss value + full-parameter gradient with NO AD graph over the
     renderer — the fast path for fits whose loss is a cheap function of
@@ -482,7 +515,7 @@ def prb_loss_and_grad_all(
         if defer_scalars:
             gz = _assemble_grads(
                 params, gacc, jnp.zeros_like(params.fuzz),
-                jnp.zeros_like(params.ir),
+                jnp.zeros_like(params.ir), planar_images=planar_images,
             )
             return loss, gz, (rad, g, touched)
         gfuzz, gir = _scalar_tangent_pass(
@@ -491,7 +524,8 @@ def prb_loss_and_grad_all(
             ir_rows_j=ir_rows_j, tangent_cap=tangent_cap,
             tangent_chunk_div=tangent_chunk_div, ids_base=ids_base,
         )
-        return loss, _assemble_grads(params, gacc, gfuzz, gir)
+        return loss, _assemble_grads(params, gacc, gfuzz, gir,
+                                     planar_images=planar_images)
     if compaction:
         rad = trace_compacted(s, ro, rd, key, max_depth, ids_base=ids_base)
     else:
@@ -506,7 +540,7 @@ def prb_loss_and_grad_all(
         )
         gz = _assemble_grads(
             params, gacc, jnp.zeros_like(params.fuzz),
-            jnp.zeros_like(params.ir),
+            jnp.zeros_like(params.ir), planar_images=planar_images,
         )
         return loss, gz, (rad, g, touched)
     gparams = _prb_backward(

@@ -333,7 +333,14 @@ def tape_sweep(
     if chunk_div is None:
         chunk_div = default_chunk_div(n)
     chunk = n // chunk_div
-    has_images = scene.textures.images.shape[0] > 0
+    import os as _os
+
+    # RAY_TPU_SWEEP_NOIMG: ablation-only switch (drops the atlas-texel
+    # scatter from the sweep — WRONG image gradients; perf experiments)
+    has_images = (
+        scene.textures.images.shape[0] > 0
+        and _os.environ.get("RAY_TPU_SWEEP_NOIMG") != "1"
+    )
     gacc = _zero_grads(scene)
     gt = jnp.concatenate([g, rad_total], axis=1)  # fused gather source
 
@@ -358,6 +365,19 @@ def tape_sweep(
         gt_s = gt[ids_s]
         g_s, tot_s = gt_s[:, :3], gt_s[:, 3:]
         alive_count = tape.alive_counts[stage]
+
+        if _os.environ.get("RAY_TPU_SWEEP_FULL") == "1":
+            # chunk-loop-free: one full-width accumulation per stage
+            # (dead rows carry zero flags -> zero contribution; the
+            # scatter's block-skip eats them).  Tuning alternative to
+            # the alive-gated chunk walk below; same sums up to f32
+            # reduction order (the one-hot matmul partial-sum split
+            # changes, scatter row order does not).
+            gacc = _accum_rows(
+                scene, gacc, *stage_rows, g_s, tot_s, has_images
+            )
+            offset += bounces
+            continue
 
         def chunk_body(state, _rows=stage_rows, _g_s=g_s, _tot_s=tot_s):
             ci, gacc = state

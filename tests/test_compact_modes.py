@@ -156,6 +156,34 @@ def test_trace_subset_dot_matches_replay_radiance():
     assert np.isclose(dot, want, rtol=1e-5), (dot, want)
 
 
+def test_planar_image_grads_roundtrip():
+    """planar_images=True + image_grads_from_planar == default path
+    (the tiled-caller protocol that skips per-tile planar transposes)."""
+    from ray_tracing_tpu import load_scene_json
+    from ray_tracing_tpu.models.camera import Camera, camera_rays
+    from ray_tracing_tpu.render.prb_scalar import (
+        image_grads_from_planar, params_of, prb_loss_and_grad_all,
+    )
+
+    b = load_scene_json("data/zy_scene.json")  # has the earthmap atlas
+    scene, cam = b.scene, Camera.build(b.camera, 1.0)
+    ro, rd, _, kt = camera_rays(cam, jax.random.key(1), 48, 48, True)
+    params = params_of(scene)
+
+    loss0, g0 = prb_loss_and_grad_all(
+        jnp.sum, params, scene, ro, rd, kt, 8, static_scene=scene
+    )
+    loss1, g1, _aux = prb_loss_and_grad_all(
+        jnp.sum, params, scene, ro, rd, kt, 8, static_scene=scene,
+        defer_scalars=True, planar_images=True,
+    )
+    assert float(loss0) == float(loss1)
+    img1 = image_grads_from_planar(g1.images, params.images.shape)
+    assert np.array_equal(np.asarray(g0.images), np.asarray(img1))
+    assert np.array_equal(np.asarray(g0.color), np.asarray(g1.color))
+    assert np.asarray(g0.images).any()  # earthmap actually hit
+
+
 def test_lean_tangent_pass_matches_prb_replay_tangents():
     from ray_tracing_tpu.render.prb_scalar import (
         params_of, prb_loss_and_grad_all,
