@@ -107,9 +107,17 @@ def image_texel_index(tt: TextureTable, img_idx, uv):
 
 
 def image_value(tt: TextureTable, img_idx, uv):
-    """Nearest-texel lookup (reference image.rs:26-72)."""
+    """Nearest-texel lookup (reference image.rs:26-72).
+
+    The gather uses ONE linearized index into the flattened (P, 3)
+    atlas: the 3-index form ``images[img, j, i]`` lowers to a gather
+    that measured ~26 ms per 64k lookups SLOWER on TPU v5e than the
+    flat row gather (same values, bit-identical; the flat form is at
+    the scalar-core floor — docs/PERFORMANCE.md round-5 cont.)."""
     j, i = image_texel_index(tt, img_idx, uv)
-    return tt.images[img_idx, j, i]  # (..., 3), already /255
+    hmax, wmax = tt.images.shape[1], tt.images.shape[2]
+    flat_idx = (img_idx * hmax + j) * wmax + i
+    return tt.images.reshape(-1, 3)[flat_idx]  # (..., 3), already /255
 
 
 def resolve_leaf(tt: TextureTable, idx, p):
