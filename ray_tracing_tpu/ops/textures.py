@@ -120,6 +120,64 @@ def image_value(tt: TextureTable, img_idx, uv):
     return tt.images.reshape(-1, 3)[flat_idx]  # (..., 3), already /255
 
 
+def _image_lanes_value(tt: TextureTable, idx, uv, is_img):
+    """Atlas colors for the ``is_img`` lanes (junk elsewhere — callers
+    mask).  Three execution strategies, value-identical on the is_img
+    lanes:
+
+    * no lane needs it → zeros (the old any-gate);
+    * FEW lanes need it (count ≤ n/8 — the common path-tracing case:
+      zy measures ~4% image lanes per bounce) → sort the image lanes
+      to the front, run the uv→texel math and the atlas gather on a
+      static n/8-lane prefix only, and scatter the values back with
+      one index-keyed variadic sort (TPU-native inverse permutation,
+      integrator.unsort_wavefront's trick);
+    * dense images (a C5-style textured-quad fit) → the full-width
+      gather, as before.
+
+    ``RAY_TPU_PACKED_IMG=0`` forces the old two-way gate (perf knob;
+    results are bit-identical either way since gathered values and the
+    final mask-select are unchanged)."""
+    import os as _os
+
+    n = is_img.shape[0] if is_img.ndim == 1 else 0
+    zeros = lambda: jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+    full = lambda: image_value(tt, take_rows(tt.image, idx), uv)
+    packed_ok = (
+        is_img.ndim == 1
+        and uv.ndim == 2
+        and n >= 1024
+        and _os.environ.get("RAY_TPU_PACKED_IMG", "1") != "0"
+    )
+    if not packed_ok:
+        return jax.lax.cond(jnp.any(is_img), full, zeros)
+
+    k = max(128, n // 8)
+    count = jnp.sum(is_img.astype(jnp.int32))
+
+    def packed():
+        # stable partition: image lanes first (positions < count)
+        order = jnp.argsort(~is_img, stable=True)
+        top = jax.lax.slice_in_dim(order, 0, k)
+        vals = image_value(tt, take_rows(tt.image, idx[top]), uv[top])
+        live = jnp.arange(k, dtype=jnp.int32) < count
+        vals = jnp.where(live[:, None], vals, 0.0)
+        vfull = jnp.concatenate(
+            [vals, jnp.zeros((n - k, 3), jnp.float32)], axis=0
+        )
+        # rows keyed by their destination lane = inverse permutation
+        srt = jax.lax.sort(
+            (order, vfull[:, 0], vfull[:, 1], vfull[:, 2]), num_keys=1,
+            is_stable=False,
+        )
+        return jnp.stack(srt[1:], axis=1)
+
+    return jax.lax.cond(
+        count == 0, zeros,
+        lambda: jax.lax.cond(count <= k, packed, full),
+    )
+
+
 def resolve_leaf(tt: TextureTable, idx, p):
     """Walk checker indirection to the leaf texture id per ray
     (reference checker.rs:31-38 selects a sub-texture by
@@ -155,11 +213,7 @@ def texture_value(tt: TextureTable, idx, uv, p, *, with_leaf: bool = False):
         # enough in the warm stage that the serial per-ray loop loses to
         # the XLA point gather (docs/PERFORMANCE.md).
         is_img = ttype == TEX_IMAGE
-        img = jax.lax.cond(
-            jnp.any(is_img),
-            lambda: image_value(tt, take_rows(tt.image, idx), uv),
-            lambda: jnp.zeros(uv.shape[:-1] + (3,), jnp.float32),
-        )
+        img = _image_lanes_value(tt, idx, uv, is_img)
         out = jnp.where(is_img[..., None], img, out)
 
     if tt.max_noise_depth > 0:
