@@ -126,10 +126,10 @@ def _image_lanes_value(tt: TextureTable, idx, uv, is_img):
     lanes:
 
     * no lane needs it → zeros (the old any-gate);
-    * FEW lanes need it (count ≤ n/8 — the common path-tracing case:
+    * FEW lanes need it (count ≤ n/16 — the common path-tracing case:
       zy measures ~4% image lanes per bounce) → sort the image lanes
       to the front, run the uv→texel math and the atlas gather on a
-      static n/8-lane prefix only, and scatter the values back with
+      static n/16-lane prefix only, and scatter the values back with
       one index-keyed variadic sort (TPU-native inverse permutation,
       integrator.unsort_wavefront's trick);
     * dense images (a C5-style textured-quad fit) → the full-width
@@ -152,7 +152,12 @@ def _image_lanes_value(tt: TextureTable, idx, uv, is_img):
     if not packed_ok:
         return jax.lax.cond(jnp.any(is_img), full, zeros)
 
-    k = max(128, n // 8)
+    # n/16 beat n/8 interleaved (210.0 vs 212.6 ms/pass at 1024²): the
+    # prefix gather halves while the two n-row sorts are K-independent;
+    # zy's ~4% image lanes stay well under the cap (overflow is CORRECT
+    # either way — it just takes the full-width branch)
+    div = int(_os.environ.get("RAY_TPU_IMG_CAP_DIV", 16))
+    k = max(128, n // div)
     count = jnp.sum(is_img.astype(jnp.int32))
 
     def packed():
