@@ -31,9 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUB = 8  # f32 sublane granularity
-ROW_CHUNK = 1024  # scatter rows per grid step (SMEM resident); must
-# match XLA's T(1024) tiling for 1-D s32/f32 operands or Mosaic rejects
-# the layout ("XLA layout {0:T(1024)S(1)} does not match Mosaic")
+ROW_CHUNK = 1024  # default scatter rows per grid step (SMEM resident);
+# must be a MULTIPLE of 1024 to match XLA's T(1024) tiling for 1-D
+# s32/f32 operands or Mosaic rejects the layout ("XLA layout
+# {0:T(1024)S(1)} does not match Mosaic")
+
+
+def _row_chunk() -> int:
+    """Rows per grid step; ``RAY_TPU_SCATTER_CHUNK`` is read per call
+    (tuning knob; sums are identical for any multiple of 1024 — the
+    serial row order never changes)."""
+    return int(os.environ.get("RAY_TPU_SCATTER_CHUNK", ROW_CHUNK))
 def _skip_block() -> int:
     """Rows per block-skip flag (see _kernel); ``RAY_TPU_SCATTER_SKIP``
     is read per call — a tuning knob only (sums are identical for any
@@ -139,13 +147,15 @@ def _kernel(clive_ref, blive_ref, texel_ref, cr_ref, cg_ref, cb_ref,
         jax.lax.fori_loop(0, texel_ref.shape[0] // skip_block, blk_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "skip_block"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "skip_block", "row_chunk")
+)
 def _run(gplanar, clive, blive, texel, cr, cg, cb, *, interpret,
-         skip_block):
+         skip_block, row_chunk):
     n = texel.shape[0]
-    grid = (n // ROW_CHUNK,)
+    grid = (n // row_chunk,)
     chunk_spec = pl.BlockSpec(
-        (ROW_CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM
+        (row_chunk,), lambda i: (i,), memory_space=pltpu.SMEM
     )
     blive_spec = chunk_spec  # row-granularity broadcast (see _kernel)
     table_spec = pl.BlockSpec(
@@ -169,7 +179,8 @@ def scatter_add_planar(gplanar, texel, contrib, mask, interpret: bool = False):
     block-live flags are reduced on the VPU here and dead SKIP_BLOCK
     row groups are skipped inside the kernel."""
     n = texel.shape[0]
-    pad = -n % ROW_CHUNK
+    rc = _row_chunk()
+    pad = -n % rc
     t = jnp.where(mask, texel, -1).astype(jnp.int32)
     if pad:
         t = jnp.pad(t, (0, pad), constant_values=-1)
@@ -184,12 +195,12 @@ def scatter_add_planar(gplanar, texel, contrib, mask, interpret: bool = False):
     ).reshape(-1)
     clive = jnp.broadcast_to(
         jnp.max(
-            blk_live.reshape(-1, ROW_CHUNK // sb), axis=1
+            blk_live.reshape(-1, rc // sb), axis=1
         ).astype(jnp.int32)[:, None],
-        (t.shape[0] // ROW_CHUNK, ROW_CHUNK),
+        (t.shape[0] // rc, rc),
     ).reshape(-1)
     return _run(gplanar, clive, blive, t, c[:, 0], c[:, 1], c[:, 2],
-                interpret=interpret, skip_block=sb)
+                interpret=interpret, skip_block=sb, row_chunk=rc)
 
 
 def use_pallas_scatter(p: int) -> bool:
